@@ -1,0 +1,336 @@
+"""WOW — Wavelets Optimized Whitening (reference: watroo/utils.py:105-219).
+
+The flagship pipeline: à trous decomposition, per-scale local-power
+whitening, optional erf/hard significance denoising, optional bilateral
+(edge-aware) decomposition, optional variance preservation and gamma-blend
+tone mapping.  ``wow_core`` compiles the entire pipeline — 2n dilated
+convolutions plus all elementwise work and global reductions — into one
+XLA program per (shape, config).
+
+Paper: Auchère et al. 2023, A&A 670, A66 (reference README.md:111).
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import B3spline, Coefficients, _as_device_array, _spec_of
+from ..core.transform import decompose, normalize_bilateral, synthesize
+from ..ops.conv import smooth
+from ..ops.filters import ScalingFunction
+from ..ops.stats import mad_noise, significance
+
+__all__ = ["wow", "wow_core"]
+
+
+class LocalReduceOps:
+    """Single-device global reductions over a whole plane.
+
+    The sharded engine substitutes a collective-backed implementation
+    (``wavelets_tpu.parallel.sharded.ShardedReduceOps``) so the WOW body
+    below is written once for both."""
+
+    def median_abs(self, x):
+        return jnp.median(jnp.abs(x))
+
+    def mean(self, x):
+        return jnp.mean(x)
+
+    def std(self, x):
+        return jnp.std(x)
+
+    def min(self, x):
+        return jnp.min(x)
+
+    def max(self, x):
+        return jnp.max(x)
+
+
+_LOCAL_OPS = LocalReduceOps()
+
+
+def _wow_body(
+    planes: jax.Array,
+    noise: jax.Array,
+    has_noise: bool,
+    sf: ScalingFunction,
+    n_scales: int,
+    weights: Tuple[float, ...],
+    whitening: bool,
+    denoise_coefficients: Tuple[float, ...],
+    bilateral: bool,
+    soft_threshold: bool,
+    preserve_variance: bool,
+    gamma: float,
+    gamma_min: Optional[float],
+    gamma_max: Optional[float],
+    h: float,
+    smooth_fn=None,
+    rops=None,
+    n_dim: Optional[int] = None,
+):
+    """Per-scale whitening loop (watroo/utils.py:157-219), traced once.
+
+    ``planes`` is the (n_scales+1, ...) coefficient cube; all other
+    parameters are static.  ``smooth_fn(x, s)`` and ``rops`` (reduction
+    namespace) default to the single-device implementations; the sharded
+    engine injects halo-exchange smoothing and collective reductions.
+    """
+    if n_dim is None:
+        n_dim = planes.ndim - 1
+    if smooth_fn is None:
+        smooth_fn = lambda x, s: smooth(x, sf, scale=s)
+    if rops is None:
+        rops = _LOCAL_OPS
+    sigma_e = sf.sigma_e(n_dim, bilateral)
+
+    # Lazy MAD noise (watroo/wavelets.py:132): needed iff some detail
+    # plane has a nonzero denoise coefficient.
+    if not has_noise and any(
+        d != 0 for d in denoise_coefficients[:n_scales]
+    ):
+        noise = rops.median_abs(planes[0]) / 0.6745 / float(sigma_e[0])
+
+    gamma_scaled = jnp.zeros_like(planes[0]) if h > 0 else None
+    out_planes = []
+    for s in range(n_scales + 1):
+        c = planes[s]
+        w = float(weights[s])
+        d = float(denoise_coefficients[s])
+        power = c * c
+        if preserve_variance:
+            # watroo/utils.py:178-184
+            power_norm = rops.std(c) if s == n_scales else jnp.sqrt(
+                rops.mean(power))
+        else:
+            power_norm = jnp.asarray(1.0, c.dtype)
+        if s == n_scales:
+            # residual plane: global std, clamped (watroo/utils.py:185-191)
+            if whitening and h < 1:
+                lp = rops.std(c)
+                local_power = jnp.where(
+                    lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
+            else:
+                local_power = jnp.asarray(1.0, c.dtype)
+        else:
+            # detail plane: smoothed local power (watroo/utils.py:193-199)
+            if whitening and h < 1:
+                lp = smooth_fn(power, s)
+                lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
+                local_power = jnp.sqrt(lp)
+            else:
+                local_power = jnp.asarray(1.0, c.dtype)
+            if d != 0:
+                c = c * significance(
+                    c, d, noise, float(sigma_e[s]), soft_threshold)
+        if h > 0:
+            gamma_scaled = gamma_scaled + c
+        c = c * (w * power_norm / local_power)
+        out_planes.append(c)
+
+    out = jnp.stack(out_planes)
+    recon = synthesize(out)
+
+    if h > 0:
+        # gamma-blend tone mapping (watroo/utils.py:207-217)
+        gmin = rops.min(gamma_scaled) if gamma_min is None else jnp.asarray(
+            gamma_min, recon.dtype)
+        gmax = rops.max(gamma_scaled) if gamma_max is None else jnp.asarray(
+            gamma_max, recon.dtype)
+        gs = (gamma_scaled - gmin) / (gmax - gmin)
+        gs = jnp.clip(gs, 0.0, 1.0) ** (1.0 / gamma)
+        recon = (1 - h) * recon + h * gs
+    return recon, out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sf", "n_scales", "weights", "whitening", "denoise_coefficients",
+        "bilateral", "bilateral_scaling", "soft_threshold",
+        "preserve_variance", "gamma", "gamma_min", "gamma_max", "h",
+        "has_noise", "axes",
+    ),
+)
+def wow_core(
+    data: jax.Array,
+    noise: jax.Array,
+    *,
+    sf: ScalingFunction,
+    n_scales: int,
+    weights: Tuple[float, ...],
+    whitening: bool,
+    denoise_coefficients: Tuple[float, ...],
+    bilateral: Optional[Tuple[float, ...]],
+    bilateral_scaling: bool,
+    soft_threshold: bool,
+    preserve_variance: bool,
+    gamma: float,
+    gamma_min: Optional[float],
+    gamma_max: Optional[float],
+    h: float,
+    has_noise: bool,
+    axes: Optional[Tuple[int, ...]] = None,
+):
+    """Fused decomposition + whitening from a raw image.  Returns
+    ``(recon, planes)``."""
+    planes = decompose(
+        data, n_scales, sf, axes=axes, bilateral=bilateral,
+        bilateral_scaling=bilateral_scaling,
+    )
+    return _wow_body(
+        planes, noise, has_noise, sf, n_scales, weights, whitening,
+        denoise_coefficients, bilateral is not None, soft_threshold,
+        preserve_variance, gamma, gamma_min, gamma_max, h,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sf", "n_scales", "weights", "whitening", "denoise_coefficients",
+        "bilateral", "soft_threshold", "preserve_variance", "gamma",
+        "gamma_min", "gamma_max", "h", "has_noise",
+    ),
+)
+def _wow_from_planes_core(
+    planes: jax.Array,
+    noise: jax.Array,
+    *,
+    sf: ScalingFunction,
+    n_scales: int,
+    weights: Tuple[float, ...],
+    whitening: bool,
+    denoise_coefficients: Tuple[float, ...],
+    bilateral: bool,
+    soft_threshold: bool,
+    preserve_variance: bool,
+    gamma: float,
+    gamma_min: Optional[float],
+    gamma_max: Optional[float],
+    h: float,
+    has_noise: bool,
+):
+    return _wow_body(
+        planes, noise, has_noise, sf, n_scales, weights, whitening,
+        denoise_coefficients, bilateral, soft_threshold,
+        preserve_variance, gamma, gamma_min, gamma_max, h,
+    )
+
+
+def wow(data,
+        scaling_function=B3spline,
+        n_scales=None,
+        weights=[],
+        whitening=True,
+        denoise_coefficients=[],
+        noise=None,
+        bilateral=None,
+        bilateral_scaling=False,
+        soft_threshold=True,
+        preserve_variance=False,
+        gamma=3.2,
+        gamma_min=None,
+        gamma_max=None,
+        h=0):
+    """Wavelets Optimized Whitening, signature-compatible with
+    ``watroo.utils.wow`` (watroo/utils.py:105-219).
+
+    ``data`` may be a raw image (2-D/3-D array) or a precomputed
+    :class:`~wavelets_tpu.api.Coefficients` (reuse entry point,
+    watroo/utils.py:128-133).  Returns ``(reconstruction, Coefficients)``.
+    """
+    from_coefficients = isinstance(data, Coefficients)
+
+    if not from_coefficients:
+        if not isinstance(data, (np.ndarray, jax.Array)):
+            # parity with watroo/utils.py:133
+            raise ValueError("Unknown input type")
+        data = _as_device_array(data)
+        spec = _spec_of(scaling_function)
+        # auto scale count (watroo/utils.py:122-127)
+        max_scales = int(np.round(
+            np.log2(min(data.shape)) - np.log2(len(spec.taps))))
+        if n_scales is None:
+            n_scales = max_scales if h < 1 else len(denoise_coefficients)
+        elif n_scales > max_scales:
+            n_scales = max_scales
+        n_dims = data.ndim
+    else:
+        n_scales = len(data) - 1
+        n_dims = data.data[0].ndim
+        scaling_function = data.scaling_function.__class__
+        spec = _spec_of(scaling_function)
+
+    # clamp to σ_e table length (watroo/utils.py:135-138)
+    table_len = len(spec.sigma_e(n_dims, bilateral is not None))
+    if len(denoise_coefficients) >= table_len:
+        warnings.warn(
+            "Required number of scales larger than the maximum for scaling "
+            f"function. Using {table_len}.")
+        n_scales = table_len
+
+    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
+
+    # weight / denoise list padding (watroo/utils.py:160-170)
+    recomposition_weights = list(copy.copy(weights))
+    if len(recomposition_weights) <= n_scales:
+        recomposition_weights.extend(
+            [1] * (n_scales - len(recomposition_weights) + 1))
+    scale_denoise = list(copy.copy(denoise_coefficients))
+    if len(scale_denoise) < n_scales:
+        scale_denoise.extend([0] * (n_scales - len(scale_denoise)))
+    if len(scale_denoise) == n_scales:
+        scale_denoise.extend([1])
+
+    has_noise = noise is not None
+    static = dict(
+        sf=spec,
+        n_scales=n_scales,
+        weights=tuple(float(w) for w in recomposition_weights[:n_scales + 1]),
+        whitening=bool(whitening),
+        denoise_coefficients=tuple(
+            float(d) for d in scale_denoise[:n_scales + 1]),
+        soft_threshold=bool(soft_threshold),
+        preserve_variance=bool(preserve_variance),
+        gamma=float(gamma),
+        gamma_min=None if gamma_min is None else float(gamma_min),
+        gamma_max=None if gamma_max is None else float(gamma_max),
+        h=float(h),
+        has_noise=has_noise,
+    )
+
+    if from_coefficients:
+        planes = data.data
+        noise_arr = (jnp.asarray(noise) if has_noise
+                     else (jnp.asarray(data.noise)
+                           if data.noise is not None
+                           else jnp.zeros((), planes.dtype)))
+        if data.noise is not None:
+            static["has_noise"] = True
+        recon, out_planes = _wow_from_planes_core(
+            planes, noise_arr,
+            bilateral=data.bilateral is not None, **static)
+        coeffs = Coefficients(
+            out_planes, data.scaling_function, data.bilateral)
+        coeffs.noise = data.noise
+        return recon, coeffs
+
+    noise_arr = (jnp.asarray(noise, data.dtype) if has_noise
+                 else jnp.zeros((), data.dtype))
+    recon, out_planes = wow_core(
+        data, noise_arr,
+        bilateral=sigma_bilateral,
+        bilateral_scaling=bool(bilateral_scaling),
+        **static)
+    sf_compat = scaling_function(n_dims)
+    coeffs = Coefficients(out_planes, sf_compat, bilateral)
+    coeffs.noise = noise
+    return recon, coeffs

@@ -1,0 +1,290 @@
+"""Sharded à trous transform and WOW over a device mesh.
+
+The TPU-native scaling layer the reference lacks entirely (SURVEY §2.3):
+images (or frame stacks) are tiled over a ``(data, rows, cols)`` mesh
+with ``shard_map``; every scale-``s`` convolution exchanges ``hw·2^s``
+boundary rows/cols with ring neighbors (``ppermute`` over ICI), global
+statistics (MAD noise median, residual std, gamma min/max) become
+collectives, and the whole pipeline still compiles to one SPMD program.
+
+Numerical contract: sharded == single-device **bitwise** for the
+standard transform (identical per-element accumulation order; verified
+in tests/test_sharded.py on a forced 8-device CPU mesh)."""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.transform import normalize_bilateral, synthesize
+from ..models.wow import _wow_body
+from ..ops.conv import _noncenter_offsets
+from ..ops.filters import ScalingFunction
+from .halo import halo_exchange_axis, halo_smooth_axis
+from .mesh import COL_AXIS, DATA_AXIS, ROW_AXIS
+from .reductions import (
+    distributed_max,
+    distributed_mean,
+    distributed_median,
+    distributed_min,
+    distributed_std,
+)
+
+__all__ = ["sharded_decompose", "sharded_wow", "ShardedReduceOps"]
+
+_SPATIAL_AXES = (ROW_AXIS, COL_AXIS)
+
+
+class ShardedReduceOps:
+    """Collective-backed reductions over the spatial mesh axes, per batch
+    element.  Results keep singleton spatial dims so they broadcast
+    against local blocks."""
+
+    def __init__(self, total_count: int, batch_ndim: int):
+        self.total_count = total_count
+        self.batch_ndim = batch_ndim
+
+    def _expand(self, v, ndim):
+        return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+    def median_abs(self, x):
+        m = distributed_median(jnp.abs(x), _SPATIAL_AXES, self.total_count,
+                               self.batch_ndim)
+        return self._expand(m, x.ndim)
+
+    def mean(self, x):
+        return self._expand(
+            distributed_mean(x, _SPATIAL_AXES, self.total_count,
+                             self.batch_ndim), x.ndim)
+
+    def std(self, x):
+        return self._expand(
+            distributed_std(x, _SPATIAL_AXES, self.total_count,
+                            self.batch_ndim), x.ndim)
+
+    def min(self, x):
+        return self._expand(
+            distributed_min(x, _SPATIAL_AXES, self.batch_ndim), x.ndim)
+
+    def max(self, x):
+        return self._expand(
+            distributed_max(x, _SPATIAL_AXES, self.batch_ndim), x.ndim)
+
+
+def _smooth_local(x, sf: ScalingFunction, s: int, n_rows: int, n_cols: int):
+    """Separable dilated smoothing of a local block with halo exchange on
+    both spatial axes (last two dims)."""
+    row_axis, col_axis = x.ndim - 2, x.ndim - 1
+    out = halo_smooth_axis(x, sf.taps, s, row_axis, ROW_AXIS, n_rows,
+                           "symmetric")
+    return halo_smooth_axis(out, sf.taps, s, col_axis, COL_AXIS, n_cols,
+                            "symmetric")
+
+
+def _halo_extend_2d(x, h: int, n_rows: int, n_cols: int):
+    """Extend a local block by ``h`` on all four spatial sides; corners are
+    correct because the column exchange operates on the row-extended
+    block (the neighbor's row halos match)."""
+    row_axis, col_axis = x.ndim - 2, x.ndim - 1
+    ext = halo_exchange_axis(x, h, row_axis, ROW_AXIS, n_rows, "symmetric")
+    return halo_exchange_axis(ext, h, col_axis, COL_AXIS, n_cols,
+                              "symmetric")
+
+
+def _bilateral_smooth_local(x, var, sf: ScalingFunction, s: int,
+                            n_rows: int, n_cols: int):
+    """Bilateral à trous smoothing of a local block (dense 2-D tap loop on
+    a halo-extended block; cf. ops.conv.atrous_conv_nd)."""
+    d = 2 ** s
+    hw = sf.half_width
+    h = hw * d
+    row_axis, col_axis = x.ndim - 2, x.ndim - 1
+    nloc_r, nloc_c = x.shape[row_axis], x.shape[col_axis]
+    if h > nloc_r or h > nloc_c:
+        raise NotImplementedError(
+            "bilateral reach exceeds local tile; use fewer scales or a "
+            "coarser spatial sharding")
+    ext = _halo_extend_2d(x, h, n_rows, n_cols)
+    kernel = sf.kernel_nd(2)
+    center = float(kernel[hw, hw])
+    inv_two_var = 0.5 / var
+    out = x * jnp.asarray(center, x.dtype)
+    norm = jnp.full_like(x, center)
+
+    def tap(off_r, off_c):
+        sl = lax.slice_in_dim(ext, h + off_r * d, h + off_r * d + nloc_r,
+                              axis=row_axis)
+        return lax.slice_in_dim(sl, h + off_c * d, h + off_c * d + nloc_c,
+                                axis=col_axis)
+
+    for off in _noncenter_offsets(kernel.shape):
+        k = float(kernel[hw + off[0], hw + off[1]])
+        shifted = tap(*off)
+        diff = x - shifted
+        w = jnp.asarray(k, x.dtype) * jnp.exp(-(diff * diff) * inv_two_var)
+        norm = norm + w
+        out = out + w * shifted
+    return out / norm
+
+
+def _local_variance(x, sf, s, n_rows, n_cols, floor=1e-20):
+    mean = _smooth_local(x, sf, s, n_rows, n_cols)
+    vari = _smooth_local(x * x, sf, s, n_rows, n_cols) - mean * mean
+    return jnp.where(vari <= 0, jnp.asarray(floor, x.dtype), vari)
+
+
+def _decompose_local(
+    x, level: int, sf: ScalingFunction, n_rows: int, n_cols: int,
+    bilateral: Optional[Tuple[float, ...]], bilateral_scaling: bool,
+):
+    planes = []
+    c = x
+    for s in range(level):
+        if bilateral is None:
+            c_next = _smooth_local(c, sf, s, n_rows, n_cols)
+        else:
+            var = _local_variance(c, sf, s, n_rows, n_cols)
+            var = var * jnp.asarray(bilateral[s] ** 2, c.dtype)
+            if bilateral_scaling:
+                var = var * (s + 1)
+            c_next = _bilateral_smooth_local(c, var, sf, s, n_rows, n_cols)
+        planes.append(c - c_next)
+        c = c_next
+    planes.append(c)
+    return jnp.stack(planes)
+
+
+def _specs(mesh: Mesh, batched: bool):
+    spatial = P(ROW_AXIS, COL_AXIS)
+    data_spec = P(DATA_AXIS, ROW_AXIS, COL_AXIS) if batched else spatial
+    planes_spec = (P(None, DATA_AXIS, ROW_AXIS, COL_AXIS) if batched
+                   else P(None, ROW_AXIS, COL_AXIS))
+    return data_spec, planes_spec
+
+
+def _mesh_dims(mesh: Mesh):
+    return (mesh.shape[DATA_AXIS], mesh.shape[ROW_AXIS],
+            mesh.shape[COL_AXIS])
+
+
+def sharded_decompose(
+    x: jax.Array,
+    level: int,
+    sf: ScalingFunction,
+    mesh: Mesh,
+    *,
+    bilateral=None,
+    bilateral_scaling: bool = False,
+) -> jax.Array:
+    """À trous decomposition of a 2-D image (H, W) or frame stack
+    (B, H, W) tiled over ``mesh``.  Bitwise-identical to the
+    single-device :func:`~wavelets_tpu.core.transform.decompose`."""
+    batched = x.ndim == 3
+    n_data, n_rows, n_cols = _mesh_dims(mesh)
+    data_spec, planes_spec = _specs(mesh, batched)
+    bil = normalize_bilateral(bilateral, level)
+
+    local = partial(
+        _decompose_local, level=level, sf=sf, n_rows=n_rows, n_cols=n_cols,
+        bilateral=bil, bilateral_scaling=bilateral_scaling,
+    )
+    fn = shard_map(local, mesh=mesh, in_specs=(data_spec,),
+                   out_specs=planes_spec)
+    x = jax.device_put(x, NamedSharding(mesh, data_spec))
+    return jax.jit(fn)(x)
+
+
+def sharded_wow(
+    data: jax.Array,
+    mesh: Mesh,
+    *,
+    sf: ScalingFunction = None,
+    n_scales: Optional[int] = None,
+    weights=(),
+    whitening: bool = True,
+    denoise_coefficients=(),
+    noise=None,
+    bilateral=None,
+    bilateral_scaling: bool = False,
+    soft_threshold: bool = True,
+    preserve_variance: bool = False,
+    gamma: float = 3.2,
+    gamma_min: Optional[float] = None,
+    gamma_max: Optional[float] = None,
+    h: float = 0,
+):
+    """WOW on a mesh-tiled image (H, W) or frame stack (B, H, W).
+
+    Semantics of :func:`wavelets_tpu.models.wow.wow`, with global
+    reductions as collectives and per-frame statistics along a sharded
+    batch axis.  Returns ``(recon, planes)`` with the same sharding as
+    the input tiling."""
+    from ..ops.filters import B3SPLINE
+
+    if sf is None:
+        sf = B3SPLINE
+    batched = data.ndim == 3
+    spatial_shape = data.shape[-2:]
+    n_data, n_rows, n_cols = _mesh_dims(mesh)
+
+    # static parameter normalization, as in models/wow.py (watroo
+    # conventions, utils.py:122-170)
+    max_scales = int(np.round(
+        math.log2(min(spatial_shape)) - math.log2(len(sf.taps))))
+    if n_scales is None:
+        n_scales = max_scales if h < 1 else len(denoise_coefficients)
+    elif n_scales > max_scales:
+        n_scales = max_scales
+    table_len = len(sf.sigma_e(2, bilateral is not None))
+    if len(denoise_coefficients) >= table_len:
+        n_scales = table_len
+
+    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
+    rec_w = list(weights)
+    if len(rec_w) <= n_scales:
+        rec_w.extend([1] * (n_scales - len(rec_w) + 1))
+    dcs = list(denoise_coefficients)
+    if len(dcs) < n_scales:
+        dcs.extend([0] * (n_scales - len(dcs)))
+    if len(dcs) == n_scales:
+        dcs.extend([1])
+
+    has_noise = noise is not None
+    noise_arr = (jnp.asarray(noise, data.dtype) if has_noise
+                 else jnp.zeros((), data.dtype))
+    total_count = int(np.prod(spatial_shape))
+    batch_ndim = 1 if batched else 0
+    data_spec, planes_spec = _specs(mesh, batched)
+    rops = ShardedReduceOps(total_count, batch_ndim)
+
+    def local(x, noise_v):
+        planes = _decompose_local(
+            x, n_scales, sf, n_rows, n_cols, sigma_bilateral,
+            bilateral_scaling)
+        recon, out_planes = _wow_body(
+            planes, noise_v, has_noise, sf, n_scales,
+            tuple(float(w) for w in rec_w[:n_scales + 1]),
+            whitening,
+            tuple(float(d) for d in dcs[:n_scales + 1]),
+            sigma_bilateral is not None, soft_threshold, preserve_variance,
+            float(gamma), gamma_min, gamma_max, float(h),
+            smooth_fn=lambda p, s: _smooth_local(p, sf, s, n_rows, n_cols),
+            rops=rops, n_dim=2,
+        )
+        return recon, out_planes
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(data_spec, P()),
+        out_specs=(data_spec, planes_spec),
+    )
+    data = jax.device_put(data, NamedSharding(mesh, data_spec))
+    return jax.jit(fn)(data, noise_arr)
