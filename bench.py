@@ -3,6 +3,12 @@
 single chip — the reference's config #4 (BASELINE.md: 27.3 s ⇒ 0.037
 frames/s on 1× CPU; measured there, the repo publishes no numbers).
 
+Timing methodology: on the axon-tunneled TPU, ``block_until_ready`` does
+not actually synchronize, so each iteration is *chained* (the output
+feeds the next input, forcing sequential device execution) and the run
+ends with a jitted scalar reduction whose host transfer forces the whole
+chain; the separately-measured scalar sync round trip is subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -47,15 +53,26 @@ def main():
         recon, _ = wow_core(x, zero, **statics)
         return recon
 
+    ssum = jax.jit(jnp.sum)
+
     # warmup / compile
     step(data).block_until_ready()
+    float(ssum(data))
 
-    iters = 10
+    # per-sync overhead (scalar reduction + host transfer round trip)
+    reps = 20
     t0 = time.perf_counter()
+    for _ in range(reps):
+        float(ssum(data))
+    rtt = (time.perf_counter() - t0) / reps
+
+    iters = 30
+    t0 = time.perf_counter()
+    x = data
     for _ in range(iters):
-        out = step(data)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        x = step(x)
+    float(ssum(x))  # forces the whole chain
+    dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt
 
     print(json.dumps({
