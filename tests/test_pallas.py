@@ -1,0 +1,67 @@
+"""Fused Pallas kernel vs the XLA reference path, run in interpreter mode
+on CPU (the TPU runs the same kernel compiled; bitwise equality with the
+XLA path is additionally verified on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelets_tpu.core.transform import decompose
+from wavelets_tpu.ops import pallas_conv
+from wavelets_tpu.ops.filters import B3SPLINE, TRIANGLE
+
+
+@pytest.fixture
+def img32(rng):
+    return jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+
+
+@pytest.mark.parametrize("sf,level", [
+    (B3SPLINE, 1), (B3SPLINE, 3), (B3SPLINE, 6),
+    (TRIANGLE, 4), (TRIANGLE, 6),
+])
+def test_fused_matches_xla(img32, sf, level):
+    ref = decompose(img32, level, sf, use_pallas=False)
+    got = decompose(img32, level, sf, use_pallas=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref)), (
+        np.abs(np.asarray(got) - np.asarray(ref)).max())
+
+
+def test_fused_deep_tail(img32):
+    """Levels beyond the fused group chain through the XLA tail."""
+    ref = decompose(img32, 8, B3SPLINE, use_pallas=False)
+    got = decompose(img32, 8, B3SPLINE, use_pallas=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_round_trip(img32):
+    got = decompose(img32, 6, B3SPLINE, use_pallas=True)
+    rt = np.abs(np.asarray(jnp.sum(got, 0)) - np.asarray(img32)).max()
+    assert rt < 1e-6
+
+
+def test_fused_rectangular(rng):
+    x = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    ref = decompose(x, 4, B3SPLINE, use_pallas=False)
+    got = decompose(x, 4, B3SPLINE, use_pallas=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_can_fuse_dispatch():
+    x32 = jnp.zeros((512, 512), jnp.float32)
+    assert pallas_conv.can_fuse(x32, 6, B3SPLINE, None, (0, 1),
+                                "symmetric", backend="tpu")
+    # f64, bilateral, 1-D, reflect boundary, indivisible → no fuse
+    assert not pallas_conv.can_fuse(
+        jnp.zeros((512, 512), jnp.float64), 6, B3SPLINE, None, (0, 1),
+        "symmetric", backend="tpu")
+    assert not pallas_conv.can_fuse(
+        x32, 6, B3SPLINE, (1.0,) * 7, (0, 1), "symmetric", backend="tpu")
+    assert not pallas_conv.can_fuse(
+        jnp.zeros((500, 512), jnp.float32), 6, B3SPLINE, None, (0, 1),
+        "symmetric", backend="tpu")
+    assert not pallas_conv.can_fuse(
+        x32, 6, B3SPLINE, None, (0, 1), "reflect", backend="tpu")
+    assert not pallas_conv.can_fuse(
+        x32, 6, B3SPLINE, None, (0, 1), "symmetric", backend="cpu")

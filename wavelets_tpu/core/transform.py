@@ -106,6 +106,8 @@ def _smooth_step(
         "bilateral_scaling",
         "recursive_borders",
         "boundary",
+        "scale_offset",
+        "use_pallas",
     ),
 )
 def decompose(
@@ -118,6 +120,8 @@ def decompose(
     bilateral_scaling: bool = False,
     recursive_borders: bool = False,
     boundary: Optional[str] = None,
+    scale_offset: int = 0,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """À trous decomposition → coefficient cube ``(level+1, *x.shape)``.
 
@@ -133,12 +137,33 @@ def decompose(
     algorithm's border contract: pad once by ``hw·2^(level−1)`` with
     symmetric reflection (watroo/wavelets.py:394-395), transform, crop.
     Interior values are identical to the standard path (SURVEY §2.4).
+
+    ``scale_offset`` starts the dilation ladder at ``2^offset`` (used by
+    the fused Pallas kernel to chain deep scales).  ``use_pallas``
+    overrides the automatic fast-path dispatch (None = auto: TPU, 2-D
+    float32, standard algorithm, tile-divisible shapes).
     """
     if axes is None:
         axes = tuple(range(x.ndim))
     axes = tuple(a % x.ndim for a in axes)
     if boundary is None:
         boundary = boundary_for_ndim(len(axes))
+
+    if scale_offset == 0 and not recursive_borders:
+        from ..ops import pallas_conv
+
+        if use_pallas is None:
+            use_pallas = pallas_conv.can_fuse(
+                x, level, sf, bilateral, axes, boundary)
+        if use_pallas:
+            def xla_tail(residual, n, offset):
+                return decompose(
+                    residual, n, sf, axes=axes, boundary=boundary,
+                    scale_offset=offset, use_pallas=False)
+
+            return pallas_conv.fused_decompose(
+                x, level, sf, xla_tail=xla_tail,
+                interpret=jax.default_backend() == "cpu")
 
     if recursive_borders:
         hw = sf.half_width * 2 ** (level - 1) if level > 0 else 0
@@ -159,7 +184,8 @@ def decompose(
     c = x
     for s in range(level):
         c_next = _smooth_step(
-            c, s, sf, axes, boundary, bilateral, bilateral_scaling
+            c, s + scale_offset, sf, axes, boundary, bilateral,
+            bilateral_scaling
         )
         planes.append(c - c_next)
         c = c_next

@@ -1,0 +1,300 @@
+"""Pallas TPU kernel: fused multi-scale à trous decomposition.
+
+The XLA shift-add path (ops/conv.py) round-trips every scale through HBM:
+scale s reads smooth_s and writes smooth_{s+1} and the detail plane, so a
+6-scale decomposition moves ~20 images of traffic.  This kernel keeps the
+whole scale pyramid VMEM-resident: each (TH, TW) tile is DMA'd in once
+with a halo of R = hw·(2^L − 1), all L scale smoothings and differences
+run on-chip, and only the L+1 output planes are written back — HBM
+traffic drops to ~(1 + overlap) reads + (L+1) writes of the image.
+
+Correctness contract (vs watroo/wavelets.py:408-444 standard algorithm):
+
+* Scale-0 boundary values come from a one-shot symmetric pre-pad of the
+  input (XLA pad, cheap).
+* Scales ≥ 1 must reflect the *current smooth* at the image border
+  (the standard path pads smooth_s per scale).  Border tiles therefore
+  re-mirror their halo in-kernel before each scale.  Mosaic cannot lower
+  ``rev`` (flip), so the mirror is an anti-diagonal permutation matmul
+  on the MXU, made exact for f32 via a bf16×3 split (each component is
+  exactly representable in bf16, the permutation matrix is 0/1, and
+  accumulation is f32 — bitwise-exact reversal, verified in tests).
+* Interior halos accumulate "garbage creep" of hw·2^s per side per
+  scale from the un-refilled slice edges; the creep total equals R, so
+  the central tile is untouched — the same validity argument as
+  overlap-save convolution.
+
+Dispatch policy (see :func:`fused_decompose`): 2-D float32,
+non-bilateral, symmetric boundary, tile-divisible shapes; anything else
+falls back to the XLA path.  Levels beyond the fused group (VMEM-bound,
+default ≤ 6) chain through the XLA path on the residual.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .filters import ScalingFunction
+
+__all__ = ["fused_decompose", "can_fuse", "MAX_FUSED_LEVELS"]
+
+#: largest scale group kept fully VMEM-resident (R = hw·(2^L−1) halo)
+MAX_FUSED_LEVELS = 6
+
+
+def _flip_mats(R: int, dtype):
+    """Anti-diagonal permutation matrix for in-kernel reversal."""
+    row = lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    col = lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    return (row + col == R - 1).astype(dtype)
+
+
+def _exact_dot(a, b):
+    """f32-exact matmul with a 0/1 permutation matrix via bf16×3 split
+    (MXU rounds f32 inputs to bf16; the three-term split is lossless)."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = (a - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    lo = a - hi - mid
+    dot = lambda x: jax.lax.dot_general(
+        x, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dot(hi) + dot(mid) + dot(lo)
+
+
+def _exact_dot_left(a, b):
+    hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = (b - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    lo = b - hi - mid
+    dot = lambda x: jax.lax.dot_general(
+        a, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dot(hi) + dot(mid) + dot(lo)
+
+
+def _conv_pass_ref(src_ref, dst_ref, taps, d: int, axis: int):
+    """One 1-D dilated conv pass between full-size VMEM refs via static
+    slices; only the interior [hw·d, n−hw·d) of ``dst`` along ``axis`` is
+    written (the edges go stale — "garbage creep" — and are accounted for
+    by the halo budget, as in overlap-save convolution)."""
+    hw = (len(taps) - 1) // 2
+    n = src_ref.shape[axis]
+    m = hw * d
+
+    def sl(lo, hi):
+        if axis == 0:
+            return src_ref[lo:hi, :]
+        return src_ref[:, lo:hi]
+
+    out = sl(m, n - m) * taps[hw]
+    for j in range(1, hw + 1):
+        left = sl(m - j * d, n - m - j * d)
+        right = sl(m + j * d, n - m + j * d)
+        out = out + taps[hw + j] * (left + right)
+    if axis == 0:
+        dst_ref[m:n - m, :] = out
+    else:
+        dst_ref[:, m:n - m] = out
+
+
+def _aligned_halos(R: int) -> Tuple[int, int]:
+    """Halo widths rounded up for TPU tiling: sublane extent (TH+2Rr)
+    must be a multiple of 8, lane extent (TW+2Rc) a multiple of 128
+    (TH/TW are multiples of 128)."""
+    Rr = -(-R // 8) * 8
+    Rc = -(-R // 64) * 64
+    return max(Rr, 8), max(Rc, 64)
+
+
+def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
+                 R: int):
+    Rr, Rc = _aligned_halos(R)
+
+    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ni = pl.num_programs(0)
+        nj = pl.num_programs(1)
+        step = i * nj + j
+        slot = step % 2
+        nslot = (step + 1) % 2
+
+        def in_dma(st, ii, jj):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(ii * TH, TH + 2 * Rr),
+                         pl.ds(jj * TW, TW + 2 * Rc)],
+                bufs.at[st], sems.at[st])
+
+        # warm-up: first grid step issues its own DMA
+        @pl.when(step == 0)
+        def _():
+            in_dma(slot, i, j).start()
+
+        # prefetch the next tile while this one computes (double buffer)
+        nstep = step + 1
+        @pl.when(nstep < ni * nj)
+        def _():
+            in_dma(nslot, nstep // nj, nstep % nj).start()
+
+        in_dma(slot, i, j).wait()
+
+        Jr = _flip_mats(Rr, jnp.float32)
+        Jc = _flip_mats(Rc, jnp.float32)
+        # ping-pong refs: cur holds smooth_s, tmp the row pass, sm the
+        # scale result; cur and sm swap roles each scale.  The DMA slot
+        # buffer doubles as the first cur.
+        refs = [bufs.at[slot], tmp_ref, sm_ref]
+        cur = refs[0]
+        for s in range(level):
+            tmp = refs[1]
+            sm = refs[2]
+            if s > 0:
+                # re-mirror the image-border halo with the *current*
+                # smooth (per-scale symmetric pad semantics,
+                # watroo/wavelets.py:77 / cv2 BORDER_REFLECT)
+                @pl.when(j == 0)
+                def _():
+                    cur[:, 0:Rc] = _exact_dot(cur[:, Rc:2 * Rc], Jc)
+
+                @pl.when(j == nj - 1)
+                def _():
+                    cur[:, Rc + TW:TW + 2 * Rc] = _exact_dot(
+                        cur[:, TW:TW + Rc], Jc)
+
+                @pl.when(i == 0)
+                def _():
+                    cur[0:Rr, :] = _exact_dot_left(Jr, cur[Rr:2 * Rr, :])
+
+                @pl.when(i == ni - 1)
+                def _():
+                    cur[Rr + TH:TH + 2 * Rr, :] = _exact_dot_left(
+                        Jr, cur[TH:TH + Rr, :])
+
+            d = 2 ** s
+            _conv_pass_ref(cur, tmp, taps, d, 0)
+            _conv_pass_ref(tmp, sm, taps, d, 1)
+            out_ref[s] = (cur[Rr:Rr + TH, Rc:Rc + TW]
+                          - sm[Rr:Rr + TH, Rc:Rc + TW])
+            refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
+            cur = refs[0]
+        out_ref[level] = cur[Rr:Rr + TH, Rc:Rc + TW]
+
+    return kernel
+
+
+def _pick_tile(n: int, preferred=(512, 256, 128)) -> Optional[int]:
+    for t in preferred:
+        if n % t == 0 and n >= t:
+            return t
+    return None
+
+
+def _vmem_bytes(TH: int, TW: int, level: int, R: int) -> int:
+    """Rough VMEM footprint: halo buffer + ~4 Mosaic temps of the same
+    size + double-buffered output block."""
+    Rr, Rc = _aligned_halos(R)
+    buf = (TH + 2 * Rr) * (TW + 2 * Rc) * 4
+    out = (level + 1) * TH * TW * 4
+    return 6 * buf + 2 * out
+
+
+def _plan_tiles(H: int, W: int, level: int, R: int,
+                budget: int = 13 << 20) -> Optional[Tuple[int, int]]:
+    """Largest tile pair (by area, then squareness) meeting the VMEM
+    budget and dividing the image."""
+    cands = []
+    for TH in (512, 256, 128):
+        if H % TH:
+            continue
+        for TW in (512, 256, 128):
+            if W % TW:
+                continue
+            if max(_aligned_halos(R)) > min(TH, TW):
+                continue
+            if _vmem_bytes(TH, TW, level, R) <= budget:
+                cands.append((TH * TW, -abs(TH - TW), TH, TW))
+    if not cands:
+        return None
+    _, _, TH, TW = max(cands)
+    return TH, TW
+
+
+def can_fuse(x, level: int, sf: ScalingFunction, bilateral, axes,
+             boundary: str, backend: Optional[str] = None) -> bool:
+    """Whether the fused Pallas path applies (TPU, 2-D f32, standard
+    algorithm, tile-divisible)."""
+    if bilateral is not None or level < 1:
+        return False
+    if boundary != "symmetric":
+        return False
+    if x.ndim != 2 or (axes is not None and tuple(axes) != (0, 1)):
+        return False
+    if x.dtype != jnp.float32:
+        return False
+    if backend is None:
+        backend = jax.default_backend()
+    if backend in ("cpu",):
+        return False  # XLA path is the CPU reference; interpret mode is
+        # exercised explicitly in tests
+    Lg = min(level, MAX_FUSED_LEVELS)
+    R = sf.half_width * (2 ** Lg - 1)
+    return _plan_tiles(x.shape[0], x.shape[1], Lg, R) is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("level", "sf", "interpret"))
+def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
+                 interpret: bool = False) -> jax.Array:
+    """Fused decomposition of ``level`` scales (level ≤ fused group)."""
+    H, W = x.shape
+    R = sf.half_width * (2 ** level - 1)
+    TH, TW = _plan_tiles(H, W, level, R)
+    Rr, Rc = _aligned_halos(R)
+    xp = jnp.pad(x, ((Rr, Rr), (Rc, Rc)), mode="symmetric")
+    kernel = _make_kernel(level, sf.taps, TH, TW, R)
+    grid = (H // TH, W // TW)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((level + 1, H, W), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (level + 1, TH, TW), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out
+
+
+def fused_decompose(
+    x: jax.Array,
+    level: int,
+    sf: ScalingFunction,
+    *,
+    interpret: bool = False,
+    xla_tail=None,
+) -> jax.Array:
+    """Multi-scale decomposition with the fused kernel for the first
+    ``min(level, MAX_FUSED_LEVELS)`` scales; deeper scales (dilation too
+    wide for VMEM halos) chain through ``xla_tail(residual, n, offset)``
+    — supplied by core.transform to avoid an import cycle."""
+    Lg = min(level, MAX_FUSED_LEVELS)
+    planes = _fused_group(x, Lg, sf, interpret=interpret)
+    if level == Lg:
+        return planes
+    assert xla_tail is not None
+    tail = xla_tail(planes[Lg], level - Lg, Lg)
+    return jnp.concatenate([planes[:Lg], tail], axis=0)
