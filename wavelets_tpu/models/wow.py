@@ -38,7 +38,9 @@ class LocalReduceOps:
     below is written once for both."""
 
     def median_abs(self, x):
-        return jnp.median(jnp.abs(x))
+        from ..ops.stats import median_abs
+
+        return median_abs(x)
 
     def mean(self, x):
         return jnp.mean(x)
@@ -54,6 +56,73 @@ class LocalReduceOps:
 
 
 _LOCAL_OPS = LocalReduceOps()
+
+
+def _can_fuse_whiten(planes, n_scales, whitening, preserve_variance,
+                     gamma_active, bilateral):
+    """Fused Pallas whitening applies to the standard single-image WOW:
+    2-D f32, whitening on, no gamma blend, no variance preservation, no
+    bilateral, tileable shape, on TPU."""
+    if jax.default_backend() == "cpu":
+        return False
+    if not whitening or preserve_variance or gamma_active or bilateral:
+        return False
+    if planes.ndim != 3 or planes.dtype != jnp.float32:
+        return False
+    H, W = planes.shape[1:]
+    return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
+
+
+def _wow_body_fused(
+    planes, noise, has_noise, sf, n_scales, weights,
+    denoise_coefficients, soft_threshold,
+):
+    """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py) for
+    the scales whose power-smooth halo fits VMEM; deeper detail scales
+    and the residual run the standard XLA ops.  Numerically equivalent
+    to :func:`_wow_body` for the supported configuration."""
+    from ..ops.pallas_wow import fused_whiten, whiten_max_scale
+
+    sigma_e = sf.sigma_e(2, False)
+    if not has_noise and any(
+        d != 0 for d in denoise_coefficients[:n_scales]
+    ):
+        noise = mad_noise(planes[0], float(sigma_e[0]))
+    noise = jnp.asarray(noise, planes.dtype)
+
+    n_fast = min(n_scales, whiten_max_scale(sf) + 1)
+    thresholds = jnp.stack([
+        (denoise_coefficients[s] * float(sigma_e[s])) * noise
+        if denoise_coefficients[s] != 0 else jnp.zeros((), planes.dtype)
+        for s in range(n_fast)
+    ])
+    factors = jnp.asarray([weights[s] for s in range(n_fast)],
+                          planes.dtype)
+    white_fast, partial = fused_whiten(
+        planes, factors, thresholds, sf, n_fast, soft=soft_threshold,
+        interpret=jax.default_backend() == "cpu")
+
+    out_planes = [white_fast[s] for s in range(n_fast)]
+    recon = partial
+    # deep detail scales: XLA path (halo exceeds the VMEM window)
+    for s in range(n_fast, n_scales):
+        c = planes[s]
+        lp = smooth(c * c, sf, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp))
+        if denoise_coefficients[s] != 0:
+            c = c * significance(c, denoise_coefficients[s], noise,
+                                 float(sigma_e[s]), soft_threshold)
+        c = c * (weights[s] / lp)
+        out_planes.append(c)
+        recon = recon + c
+    # residual: global-std normalization (watroo/utils.py:185-191)
+    c = planes[n_scales]
+    lp = jnp.std(c)
+    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
+    c = c * (weights[n_scales] / lp)
+    out_planes.append(c)
+    recon = recon + c
+    return recon, jnp.stack(out_planes)
 
 
 def _wow_body(
@@ -185,6 +254,12 @@ def wow_core(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
         bilateral_scaling=bilateral_scaling,
     )
+    if _can_fuse_whiten(planes, n_scales, whitening, preserve_variance,
+                        h > 0, bilateral is not None):
+        return _wow_body_fused(
+            planes, noise, has_noise, sf, n_scales, weights,
+            denoise_coefficients, soft_threshold,
+        )
     return _wow_body(
         planes, noise, has_noise, sf, n_scales, weights, whitening,
         denoise_coefficients, bilateral is not None, soft_threshold,

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .filters import ScalingFunction
 
-__all__ = ["fused_decompose", "can_fuse", "MAX_FUSED_LEVELS"]
+__all__ = ["fused_decompose", "can_fuse", "plan_groups", "MAX_FUSED_LEVELS"]
 
 #: largest scale group kept fully VMEM-resident (R = hw·(2^L−1) halo)
 MAX_FUSED_LEVELS = 6
@@ -114,10 +114,11 @@ def _aligned_halos(R: int) -> Tuple[int, int]:
 
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
-                 R: int):
+                 R: int, offset: int = 0):
     Rr, Rc = _aligned_halos(R)
 
-    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems):
+    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, stage, sems,
+               osems):
         i = pl.program_id(0)
         j = pl.program_id(1)
         ni = pl.num_programs(0)
@@ -144,6 +145,12 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             in_dma(nslot, nstep // nj, nstep % nj).start()
 
         in_dma(slot, i, j).wait()
+
+        def out_dma(st, plane):
+            return pltpu.make_async_copy(
+                stage.at[st],
+                out_ref.at[plane, pl.ds(i * TH, TH), pl.ds(j * TW, TW)],
+                osems.at[st])
 
         Jr = _flip_mats(Rr, jnp.float32)
         Jc = _flip_mats(Rc, jnp.float32)
@@ -177,14 +184,27 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                     cur[Rr + TH:TH + 2 * Rr, :] = _exact_dot_left(
                         Jr, cur[TH:TH + Rr, :])
 
-            d = 2 ** s
+            d = 2 ** (s + offset)
             _conv_pass_ref(cur, tmp, taps, d, 0)
             _conv_pass_ref(tmp, sm, taps, d, 1)
-            out_ref[s] = (cur[Rr:Rr + TH, Rc:Rc + TW]
+            # stage the detail plane and stream it out asynchronously
+            # (double-buffered: wait for the copy issued two scales ago)
+            ost = s % 2
+            if s >= 2:
+                out_dma(ost, s - 2).wait()
+            stage[ost] = (cur[Rr:Rr + TH, Rc:Rc + TW]
                           - sm[Rr:Rr + TH, Rc:Rc + TW])
+            out_dma(ost, s).start()
             refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
             cur = refs[0]
-        out_ref[level] = cur[Rr:Rr + TH, Rc:Rc + TW]
+        ost = level % 2
+        if level >= 2:
+            out_dma(ost, level - 2).wait()
+        stage[ost] = cur[Rr:Rr + TH, Rc:Rc + TW]
+        out_dma(ost, level).start()
+        # drain both output slots before the next grid step reuses them
+        out_dma((level - 1) % 2, level - 1).wait()
+        out_dma(ost, level).wait()
 
     return kernel
 
@@ -197,12 +217,12 @@ def _pick_tile(n: int, preferred=(512, 256, 128)) -> Optional[int]:
 
 
 def _vmem_bytes(TH: int, TW: int, level: int, R: int) -> int:
-    """Rough VMEM footprint: halo buffer + ~4 Mosaic temps of the same
-    size + double-buffered output block."""
+    """Rough VMEM footprint: 2 DMA slots + tmp + sm + ~1 Mosaic temp of
+    buffer size, plus the 2 output staging tiles."""
     Rr, Rc = _aligned_halos(R)
     buf = (TH + 2 * Rr) * (TW + 2 * Rc) * 4
-    out = (level + 1) * TH * TW * 4
-    return 6 * buf + 2 * out
+    stage = 2 * TH * TW * 4
+    return 5 * buf + stage
 
 
 def _plan_tiles(H: int, W: int, level: int, R: int,
@@ -243,40 +263,87 @@ def can_fuse(x, level: int, sf: ScalingFunction, bilateral, axes,
     if backend in ("cpu",):
         return False  # XLA path is the CPU reference; interpret mode is
         # exercised explicitly in tests
-    Lg = min(level, MAX_FUSED_LEVELS)
-    R = sf.half_width * (2 ** Lg - 1)
-    return _plan_tiles(x.shape[0], x.shape[1], Lg, R) is not None
+    groups, _ = plan_groups(x.shape[0], x.shape[1], level,
+                            sf.half_width)
+    return bool(groups)
+
+
+def _group_halo(hw: int, offset: int, g: int) -> int:
+    """Reach of a fused group of ``g`` scales starting at ``offset``:
+    hw·2^offset·(2^g − 1)."""
+    return hw * (2 ** offset) * ((2 ** g) - 1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("level", "sf", "interpret"))
+    jax.jit, static_argnames=("level", "sf", "offset", "interpret"))
 def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
-                 interpret: bool = False) -> jax.Array:
-    """Fused decomposition of ``level`` scales (level ≤ fused group)."""
+                 offset: int = 0, interpret: bool = False) -> jax.Array:
+    """Fused decomposition of ``level`` scales at dilation base
+    ``2^offset``.  Returns ``(level+1, H, W)``: detail planes for scales
+    offset..offset+level−1 plus the residual."""
     H, W = x.shape
-    R = sf.half_width * (2 ** level - 1)
+    R = _group_halo(sf.half_width, offset, level)
     TH, TW = _plan_tiles(H, W, level, R)
     Rr, Rc = _aligned_halos(R)
     xp = jnp.pad(x, ((Rr, Rr), (Rc, Rc)), mode="symmetric")
-    kernel = _make_kernel(level, sf.taps, TH, TW, R)
+    kernel = _make_kernel(level, sf.taps, TH, TW, R, offset)
     grid = (H // TH, W // TW)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((level + 1, H, W), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (level + 1, TH, TW), lambda i, j: (0, i, j),
-            memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((2, TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp)
     return out
+
+
+#: max halo-amplification (compute overhead) tolerated per fused group
+_AMP_LIMIT = 2.0
+
+
+def _group_amp(H, W, g, R):
+    tiles = _plan_tiles(H, W, g, R)
+    if tiles is None:
+        return None
+    TH, TW = tiles
+    Rr, Rc = _aligned_halos(R)
+    return (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
+
+
+def plan_groups(H: int, W: int, level: int, hw: int):
+    """Split ``level`` scales into fused groups with bounded halo
+    amplification; returns a list of (offset, g) pairs followed by the
+    number of trailing scales left to the XLA path.
+
+    Rationale: the kernel is VPU-bound through the halo overlap factor
+    ((TH+2R)(TW+2R))/(TH·TW), so each group keeps R small; chaining
+    groups costs one extra HBM round trip of the residual, which is
+    cheap by comparison."""
+    groups = []
+    s = 0
+    while s < level:
+        best = None
+        for g in range(min(level - s, MAX_FUSED_LEVELS), 0, -1):
+            R = _group_halo(hw, s, g)
+            amp = _group_amp(H, W, g, R)
+            if amp is not None and amp <= _AMP_LIMIT:
+                best = g
+                break
+        if best is None:
+            break
+        groups.append((s, best))
+        s += best
+    return groups, level - s
 
 
 def fused_decompose(
@@ -287,14 +354,23 @@ def fused_decompose(
     interpret: bool = False,
     xla_tail=None,
 ) -> jax.Array:
-    """Multi-scale decomposition with the fused kernel for the first
-    ``min(level, MAX_FUSED_LEVELS)`` scales; deeper scales (dilation too
-    wide for VMEM halos) chain through ``xla_tail(residual, n, offset)``
-    — supplied by core.transform to avoid an import cycle."""
-    Lg = min(level, MAX_FUSED_LEVELS)
-    planes = _fused_group(x, Lg, sf, interpret=interpret)
-    if level == Lg:
-        return planes
-    assert xla_tail is not None
-    tail = xla_tail(planes[Lg], level - Lg, Lg)
-    return jnp.concatenate([planes[:Lg], tail], axis=0)
+    """Multi-scale decomposition chaining fused scale groups; scales
+    whose dilation is too wide for VMEM halos run through
+    ``xla_tail(residual, n, offset)`` — supplied by core.transform to
+    avoid an import cycle."""
+    H, W = x.shape
+    groups, n_tail = plan_groups(H, W, level, sf.half_width)
+    pieces = []
+    cur = x
+    for offset, g in groups:
+        planes = _fused_group(cur, g, sf, offset=offset,
+                              interpret=interpret)
+        pieces.append(planes[:g])
+        cur = planes[g]
+    if n_tail:
+        assert xla_tail is not None
+        tail = xla_tail(cur, n_tail, level - n_tail)
+        pieces.append(tail)
+    else:
+        pieces.append(cur[None])
+    return jnp.concatenate(pieces, axis=0)

@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: fused WOW whitening stage.
+
+After decomposition, WOW whitens each detail plane by its local power:
+``c ← c · sig(c) · w / sqrt(max(smooth_s(c²), 1e-15))``
+(watroo/utils.py:174-203).  The XLA path spends one full dilated-smooth
+round trip per scale on ``smooth_s(c²)`` plus several elementwise
+passes.  This kernel processes each tile once: for every scale it DMAs
+the detail tile + its ``hw·2^s`` halo, squares, smooths (per-scale
+dilation, exact symmetric borders via the same MXU mirror trick as
+pallas_conv), applies the significance mask and whitening factor, stages
+the whitened plane out, and accumulates the partial reconstruction
+(Σ whitened details) in VMEM — one extra output pass instead of L.
+
+The residual plane (global-std normalization), deep scales whose halo
+exceeds the VMEM window, gamma blending, and preserve_variance stay in
+XLA (wavelets_tpu/models/wow.py dispatches).
+
+Significance: ``erf(|w|/t)`` with per-scale scalar threshold ``t``
+prefetched via SMEM; ``t == 0`` disables masking (parity with
+watroo/wavelets.py:129-143 for the known-noise case)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .filters import ScalingFunction
+from .pallas_conv import _conv_pass_ref
+
+__all__ = ["fused_whiten", "whiten_max_scale"]
+
+
+def _erf_pos(x):
+    """erf for x ≥ 0 via Abramowitz & Stegun 7.1.26 (max abs error
+    1.5e-7 — below f32 visibility for the erf-based significance mask).
+    Mosaic has no erf lowering; this uses only exp and FMAs."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return 1.0 - poly * jnp.exp(-x * x)
+
+
+def whiten_max_scale(sf: ScalingFunction, max_halo: int = 128) -> int:
+    """Largest scale whose power-smooth halo hw·2^s fits the window."""
+    s = 0
+    while sf.half_width * (2 ** (s + 1)) <= max_halo:
+        s += 1
+    return s  # scales 0..s usable iff hw·2^s <= max_halo
+
+
+def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
+                        TH: int, TW: int, R: int, soft: bool):
+    hw = (len(taps) - 1) // 2
+
+    def kernel(fac_ref, thr_ref, planes_hbm, out_ref, recon_ref,
+               bufs, tmp_ref, sm_ref, stage, acc, sems, osems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def in_dma(st, plane):
+            return pltpu.make_async_copy(
+                planes_hbm.at[plane,
+                              pl.ds(i * TH, TH + 2 * R),
+                              pl.ds(j * TW, TW + 2 * R)],
+                bufs.at[st], sems.at[st])
+
+        def out_dma(st, plane):
+            return pltpu.make_async_copy(
+                stage.at[st],
+                out_ref.at[plane, pl.ds(i * TH, TH), pl.ds(j * TW, TW)],
+                osems.at[st])
+
+        in_dma(0, 0).start()
+
+        acc[:] = jnp.zeros((TH, TW), jnp.float32)
+
+        for s in range(n_scales):
+            slot = s % 2
+            if s + 1 < n_scales:
+                in_dma((s + 1) % 2, s + 1).start()
+            in_dma(slot, s).wait()
+            w = bufs[slot]
+
+            # power plane; image-border halo values come from the
+            # symmetric pre-pad of the detail plane, and reflection
+            # commutes with squaring, so borders are exact without
+            # in-kernel mirroring (single smooth — no chaining)
+            tmp_ref[:] = w * w
+
+            d = 2 ** s
+            _conv_pass_ref(tmp_ref, sm_ref, taps, d, 0)
+            _conv_pass_ref(sm_ref, tmp_ref, taps, d, 1)
+            lp = tmp_ref[R:R + TH, R:R + TW]
+            lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+
+            wc = w[R:R + TH, R:R + TW]
+            thr = thr_ref[s]
+            safe_t = jnp.where(thr == 0, jnp.float32(1.0), thr)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            mask = jnp.where(thr == 0, jnp.float32(1.0), mask)
+            wden = wc * mask
+
+            ost = s % 2
+            if s >= 2:
+                out_dma(ost, s - 2).wait()
+            white = wden * (fac_ref[s] / lp)
+            stage[ost] = white
+            acc[:] = acc[:] + white
+            out_dma(ost, s).start()
+
+        # drain outstanding plane copies, then write the partial recon
+        if n_scales >= 2:
+            out_dma((n_scales - 2) % 2, n_scales - 2).wait()
+        out_dma((n_scales - 1) % 2, n_scales - 1).wait()
+        recon_ref[:] = acc[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sf", "n_scales", "soft", "interpret"))
+def fused_whiten(
+    planes: jax.Array,
+    factors: jax.Array,
+    thresholds: jax.Array,
+    sf: ScalingFunction,
+    n_scales: int,
+    soft: bool = True,
+    interpret: bool = False,
+):
+    """Whiten detail planes 0..n_scales−1 of ``planes``.
+
+    ``factors[s]``: scalar multiplier (w_s · power_norm_s);
+    ``thresholds[s]``: significance threshold (0 → none).
+    Returns ``(whitened_planes (n_scales, H, W), partial_recon (H, W))``.
+    """
+    _, H, W = planes.shape
+    R = 128  # fixed aligned window halo; callers gate scales via
+    # whiten_max_scale so hw·2^s ≤ R
+    TH = TW = 256  # (TH+2R)² windows: VMEM-bound — 512 tiles overflow
+    if H % TH or W % TW:
+        raise ValueError("shape not tileable")
+    body = planes[:n_scales]
+    padded = jnp.pad(body, ((0, 0), (R, R), (R, R)), mode="symmetric")
+    kernel = _make_whiten_kernel(n_scales, sf.taps, TH, TW, R, soft)
+    grid = (H // TH, W // TW)
+    out, recon = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_scales, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2 * R, TW + 2 * R), jnp.float32),
+            pltpu.VMEM((TH + 2 * R, TW + 2 * R), jnp.float32),
+            pltpu.VMEM((TH + 2 * R, TW + 2 * R), jnp.float32),
+            pltpu.VMEM((2, TH, TW), jnp.float32),
+            pltpu.VMEM((TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(factors.astype(jnp.float32), thresholds.astype(jnp.float32), padded)
+    return out, recon
