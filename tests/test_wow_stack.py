@@ -1,0 +1,48 @@
+"""Batched (frame-stack) WOW: per-frame statistics match single-frame
+calls."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import wavelets_tpu as wt
+from wavelets_tpu.models.wow import wow_stack
+
+
+@pytest.fixture
+def stack(rng):
+    scales = np.array([1.0, 2.0, 0.5], np.float32)[:, None, None]
+    return jnp.asarray(
+        rng.normal(size=(3, 128, 128)).astype(np.float32) * scales)
+
+
+def test_per_frame_parity(stack):
+    recon, planes = wow_stack(stack, denoise_coefficients=[5, 2],
+                              weights=[1.1, 0.9])
+    assert recon.shape == stack.shape
+    assert planes.shape == (3, 6, 128, 128)
+    for i in range(3):
+        ref, ref_c = wt.wow(stack[i], denoise_coefficients=[5, 2],
+                            weights=[1.1, 0.9])
+        np.testing.assert_allclose(np.asarray(recon[i]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(planes[i]),
+                                   np.asarray(ref_c.data),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_known_noise_broadcast(stack):
+    recon, _ = wow_stack(stack, noise=0.5, denoise_coefficients=[3])
+    ref, _ = wt.wow(stack[1], noise=0.5, denoise_coefficients=[3])
+    np.testing.assert_allclose(np.asarray(recon[1]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rejects_non_stack(rng):
+    with pytest.raises(ValueError):
+        wow_stack(jnp.zeros((64, 64)))
+
+
+def test_rejects_unknown_kwarg(stack):
+    with pytest.raises(TypeError):
+        wow_stack(stack, nonsense=1)

@@ -31,7 +31,7 @@ from .api import (
 )
 from .models.denoise import denoise
 from .models.enhance import enhance, prepare_params
-from .models.wow import wow
+from .models.wow import wow, wow_stack
 from .models.richardson_lucy import richardson_lucy
 
 __all__ = [
@@ -44,6 +44,7 @@ __all__ = [
     "convolution",
     "denoise",
     "wow",
+    "wow_stack",
     "richardson_lucy",
     # documented-but-unexported reference helpers (watroo/utils.py:36, :10)
     "enhance",

@@ -27,7 +27,7 @@ from ..ops.conv import smooth
 from ..ops.filters import ScalingFunction
 from ..ops.stats import mad_noise, significance
 
-__all__ = ["wow", "wow_core"]
+__all__ = ["wow", "wow_core", "wow_stack"]
 
 
 class LocalReduceOps:
@@ -53,6 +53,14 @@ class LocalReduceOps:
 
     def max(self, x):
         return jnp.max(x)
+
+
+class VmapSafeReduceOps(LocalReduceOps):
+    """Reductions usable under vmap (the Pallas median kernel cannot be
+    batched; fall back to the XLA sort-based median per frame)."""
+
+    def median_abs(self, x):
+        return jnp.median(jnp.abs(x))
 
 
 _LOCAL_OPS = LocalReduceOps()
@@ -225,7 +233,7 @@ def _wow_body(
         "sf", "n_scales", "weights", "whitening", "denoise_coefficients",
         "bilateral", "bilateral_scaling", "soft_threshold",
         "preserve_variance", "gamma", "gamma_min", "gamma_max", "h",
-        "has_noise", "axes",
+        "has_noise", "axes", "fuse",
     ),
 )
 def wow_core(
@@ -247,15 +255,19 @@ def wow_core(
     h: float,
     has_noise: bool,
     axes: Optional[Tuple[int, ...]] = None,
+    fuse: bool = True,
 ):
     """Fused decomposition + whitening from a raw image.  Returns
-    ``(recon, planes)``."""
+    ``(recon, planes)``.  ``fuse=False`` disables the Pallas fast paths
+    (required under vmap)."""
     planes = decompose(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
         bilateral_scaling=bilateral_scaling,
+        use_pallas=None if fuse else False,
     )
-    if _can_fuse_whiten(planes, n_scales, whitening, preserve_variance,
-                        h > 0, bilateral is not None):
+    if fuse and _can_fuse_whiten(planes, n_scales, whitening,
+                                 preserve_variance, h > 0,
+                                 bilateral is not None):
         return _wow_body_fused(
             planes, noise, has_noise, sf, n_scales, weights,
             denoise_coefficients, soft_threshold,
@@ -264,6 +276,7 @@ def wow_core(
         planes, noise, has_noise, sf, n_scales, weights, whitening,
         denoise_coefficients, bilateral is not None, soft_threshold,
         preserve_variance, gamma, gamma_min, gamma_max, h,
+        rops=None if fuse else VmapSafeReduceOps(),
     )
 
 
@@ -409,3 +422,87 @@ def wow(data,
     coeffs = Coefficients(out_planes, sf_compat, bilateral)
     coeffs.noise = noise
     return recon, coeffs
+
+
+def wow_stack(data, noise=None, **kwargs):
+    """Per-frame WOW over a frame stack (B, H, W) — the batched 4k-frames
+    serving path.  Statistics (MAD noise, residual std, gamma bounds) are
+    computed per frame (``vmap``), matching a loop of single-frame
+    :func:`wow` calls.  Returns ``(recon (B, H, W), planes
+    (B, n_scales+1, H, W))``.
+
+    Accepts the same keyword arguments as :func:`wow` (except
+    ``n_scales`` auto-derivation uses the frame shape).  For multi-chip
+    execution prefer :func:`wavelets_tpu.parallel.sharded.sharded_wow`,
+    which shards frames and tiles with halo exchange."""
+    import math
+
+    data = _as_device_array(data)
+    if data.ndim != 3:
+        raise ValueError("wow_stack expects a (B, H, W) stack")
+    scaling_function = kwargs.pop("scaling_function", B3spline)
+    spec = _spec_of(scaling_function)
+    n_scales = kwargs.pop("n_scales", None)
+    h = float(kwargs.get("h", 0))
+    denoise_coefficients = list(kwargs.pop("denoise_coefficients", []))
+    weights = list(kwargs.pop("weights", []))
+    bilateral = kwargs.pop("bilateral", None)
+
+    frame_shape = data.shape[1:]
+    max_scales = int(np.round(
+        np.log2(min(frame_shape)) - np.log2(len(spec.taps))))
+    if n_scales is None:
+        n_scales = max_scales if h < 1 else len(denoise_coefficients)
+    elif n_scales > max_scales:
+        n_scales = max_scales
+    table_len = len(spec.sigma_e(2, bilateral is not None))
+    if len(denoise_coefficients) >= table_len:
+        warnings.warn(
+            "Required number of scales larger than the maximum for "
+            f"scaling function. Using {table_len}.")
+        n_scales = table_len
+
+    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
+    if len(weights) <= n_scales:
+        weights.extend([1] * (n_scales - len(weights) + 1))
+    if len(denoise_coefficients) < n_scales:
+        denoise_coefficients.extend(
+            [0] * (n_scales - len(denoise_coefficients)))
+    if len(denoise_coefficients) == n_scales:
+        denoise_coefficients.extend([1])
+
+    has_noise = noise is not None
+    statics = dict(
+        sf=spec,
+        n_scales=n_scales,
+        weights=tuple(float(w) for w in weights[:n_scales + 1]),
+        whitening=bool(kwargs.pop("whitening", True)),
+        denoise_coefficients=tuple(
+            float(d) for d in denoise_coefficients[:n_scales + 1]),
+        bilateral=sigma_bilateral,
+        bilateral_scaling=bool(kwargs.pop("bilateral_scaling", False)),
+        soft_threshold=bool(kwargs.pop("soft_threshold", True)),
+        preserve_variance=bool(kwargs.pop("preserve_variance", False)),
+        gamma=float(kwargs.pop("gamma", 3.2)),
+        gamma_min=kwargs.pop("gamma_min", None),
+        gamma_max=kwargs.pop("gamma_max", None),
+        h=h,
+        has_noise=has_noise,
+        fuse=False,  # Pallas kernels cannot run under vmap
+    )
+    kwargs.pop("h", None)
+    if kwargs:
+        raise TypeError(f"unexpected arguments: {sorted(kwargs)}")
+
+    if has_noise:
+        noise_arr = jnp.asarray(noise, data.dtype)
+        if noise_arr.ndim == 0:
+            noise_arr = jnp.broadcast_to(noise_arr, (data.shape[0],))
+        in_axes = (0, 0)
+    else:
+        noise_arr = jnp.zeros((data.shape[0],), data.dtype)
+        in_axes = (0, 0)
+
+    fn = jax.vmap(lambda d, nz: wow_core(d, nz, **statics),
+                  in_axes=in_axes)
+    return fn(data, noise_arr)
