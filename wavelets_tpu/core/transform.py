@@ -22,7 +22,7 @@ A TPU-first redesign of ``AtrousTransform`` (``watroo/wavelets.py:290-444``):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -435,8 +435,6 @@ def wow_stack(data, noise=None, **kwargs):
     ``n_scales`` auto-derivation uses the frame shape).  For multi-chip
     execution prefer :func:`wavelets_tpu.parallel.sharded.sharded_wow`,
     which shards frames and tiles with halo exchange."""
-    import math
-
     data = _as_device_array(data)
     if data.ndim != 3:
         raise ValueError("wow_stack expects a (B, H, W) stack")

@@ -23,7 +23,7 @@ Replaces the reference's native delegations — ``cv2.filter2D`` for 2-D/3-D
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -146,11 +146,25 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
 
         in_dma(slot, i, j).wait()
 
-        def out_dma(st, plane):
+        def out_dma(st, plane, ii=None, jj=None):
+            ii = i if ii is None else ii
+            jj = j if jj is None else jj
             return pltpu.make_async_copy(
                 stage.at[st],
-                out_ref.at[plane, pl.ds(i * TH, TH), pl.ds(j * TW, TW)],
+                out_ref.at[plane, pl.ds(ii * TH, TH),
+                           pl.ds(jj * TW, TW)],
                 osems.at[st])
+
+        # the previous step's last two plane copies are still in flight
+        # (deferred drain): complete them before reusing the stage slots
+        @pl.when(step > 0)
+        def _():
+            pstep = step - 1
+            pi = pstep // nj
+            pj = pstep % nj
+            if level >= 1:
+                out_dma((level - 1) % 2, level - 1, pi, pj).wait()
+            out_dma(level % 2, level, pi, pj).wait()
 
         Jr = _flip_mats(Rr, jnp.float32)
         Jc = _flip_mats(Rc, jnp.float32)
@@ -202,9 +216,14 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             out_dma(ost, level - 2).wait()
         stage[ost] = cur[Rr:Rr + TH, Rc:Rc + TW]
         out_dma(ost, level).start()
-        # drain both output slots before the next grid step reuses them
-        out_dma((level - 1) % 2, level - 1).wait()
-        out_dma(ost, level).wait()
+
+        # only the final grid step must drain before the kernel exits;
+        # every other step's trailing copies are waited by its successor
+        @pl.when(step == ni * nj - 1)
+        def _():
+            if level >= 1:
+                out_dma((level - 1) % 2, level - 1).wait()
+            out_dma(level % 2, level).wait()
 
     return kernel
 

@@ -8,8 +8,6 @@ fuses into the surrounding jitted pipeline.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

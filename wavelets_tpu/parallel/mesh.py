@@ -18,7 +18,22 @@ DATA_AXIS = "data"
 ROW_AXIS = "rows"
 COL_AXIS = "cols"
 
-__all__ = ["make_mesh", "DATA_AXIS", "ROW_AXIS", "COL_AXIS"]
+__all__ = ["make_mesh", "init_distributed", "DATA_AXIS", "ROW_AXIS",
+           "COL_AXIS"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host process group (DCN) before building a
+    mesh that spans hosts.  Thin wrapper over
+    ``jax.distributed.initialize`` so the framework has one entry point;
+    arguments default to the standard cluster-environment autodetection."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(

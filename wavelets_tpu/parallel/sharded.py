@@ -24,7 +24,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..core.transform import normalize_bilateral, synthesize
+from ..core.transform import normalize_bilateral
 from ..models.wow import _wow_body
 from ..ops.conv import _noncenter_offsets
 from ..ops.filters import ScalingFunction
