@@ -5,10 +5,12 @@ After decomposition, WOW whitens each detail plane by its local power:
 (watroo/utils.py:174-203).  The XLA path spends one full dilated-smooth
 round trip per scale on ``smooth_s(c²)`` plus several elementwise
 passes.  This kernel processes each tile once: for every scale it DMAs
-the detail tile + its ``hw·2^s`` halo, squares, smooths (per-scale
-dilation, exact symmetric borders via the same MXU mirror trick as
-pallas_conv), applies the significance mask and whitening factor, stages
-the whitened plane out, and accumulates the partial reconstruction
+the detail tile + a *per-scale* halo ``hw·2^s`` (aligned up; small
+scales read far less than the deepest one), squares, smooths (per-scale
+dilation, exact symmetric borders — the pre-pad reflection commutes
+with squaring and there is no cross-scale chaining), applies the
+significance mask and whitening factor, stages the whitened plane out
+asynchronously, and accumulates the partial reconstruction
 (Σ whitened details) in VMEM — one extra output pass instead of L.
 
 The residual plane (global-std normalization), deep scales whose halo
@@ -16,8 +18,10 @@ exceeds the VMEM window, gamma blending, and preserve_variance stay in
 XLA (wavelets_tpu/models/wow.py dispatches).
 
 Significance: ``erf(|w|/t)`` with per-scale scalar threshold ``t``
-prefetched via SMEM; ``t == 0`` disables masking (parity with
-watroo/wavelets.py:129-143 for the known-noise case)."""
+from SMEM; ``t == 0`` disables masking (parity with
+watroo/wavelets.py:129-143 for the known-noise case).  Mosaic has no
+erf lowering, so erf is Abramowitz & Stegun 7.1.26 (max abs error
+1.5e-7, below f32 visibility for a mask)."""
 
 from __future__ import annotations
 
@@ -26,7 +30,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -34,6 +37,9 @@ from .filters import ScalingFunction
 from .pallas_conv import _conv_pass_ref
 
 __all__ = ["fused_whiten", "whiten_max_scale"]
+
+#: fixed outer pad of the plane stack; per-scale windows shrink inside it
+R_MAX = 128
 
 
 def _erf_pos(x):
@@ -46,7 +52,7 @@ def _erf_pos(x):
     return 1.0 - poly * jnp.exp(-x * x)
 
 
-def whiten_max_scale(sf: ScalingFunction, max_halo: int = 128) -> int:
+def whiten_max_scale(sf: ScalingFunction, max_halo: int = R_MAX) -> int:
     """Largest scale whose power-smooth halo hw·2^s fits the window."""
     s = 0
     while sf.half_width * (2 ** (s + 1)) <= max_halo:
@@ -54,52 +60,87 @@ def whiten_max_scale(sf: ScalingFunction, max_halo: int = 128) -> int:
     return s  # scales 0..s usable iff hw·2^s <= max_halo
 
 
-def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
-                        TH: int, TW: int, R: int, soft: bool):
-    hw = (len(taps) - 1) // 2
+def _scale_halos(sf: ScalingFunction, n_scales: int):
+    """Aligned per-scale halo: rows shrink with the scale (multiples of
+    8); columns stay at R_MAX — lane-dimension DMA offsets must be
+    128-aligned, so the window cannot move horizontally inside the
+    pad."""
+    halos = []
+    for s in range(n_scales):
+        r = sf.half_width * (2 ** s)
+        halos.append((max(-(-r // 8) * 8, 8), R_MAX))
+    return halos
 
+
+def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
+                        TH: int, TW: int, halos, soft: bool):
     def kernel(fac_ref, thr_ref, planes_hbm, out_ref, recon_ref,
                bufs, tmp_ref, sm_ref, stage, acc, sems, osems):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        ni = pl.num_programs(0)
+        nj = pl.num_programs(1)
+        step_id = i * nj + j
 
-        def in_dma(st, plane):
+        def in_dma(st, s):
+            Rr, Rc = halos[s]
+            roff = pl.multiple_of(i * TH + (R_MAX - Rr), 8)
+            coff = pl.multiple_of(j * TW + (R_MAX - Rc), 128)
             return pltpu.make_async_copy(
-                planes_hbm.at[plane,
-                              pl.ds(i * TH, TH + 2 * R),
-                              pl.ds(j * TW, TW + 2 * R)],
-                bufs.at[st], sems.at[st])
+                planes_hbm.at[s,
+                              pl.ds(roff, TH + 2 * Rr),
+                              pl.ds(coff, TW + 2 * Rc)],
+                bufs.at[st, 0:TH + 2 * Rr, 0:TW + 2 * Rc],
+                sems.at[st])
 
-        def out_dma(st, plane):
+        def out_dma(st, s, ii=None, jj=None):
+            ii = i if ii is None else ii
+            jj = j if jj is None else jj
             return pltpu.make_async_copy(
                 stage.at[st],
-                out_ref.at[plane, pl.ds(i * TH, TH), pl.ds(j * TW, TW)],
+                out_ref.at[s, pl.ds(ii * TH, TH), pl.ds(jj * TW, TW)],
                 osems.at[st])
 
         in_dma(0, 0).start()
 
+        # the previous tile's last two plane copies are still in flight
+        # (deferred drain): complete them before reusing the stage slots
+        @pl.when(step_id > 0)
+        def _():
+            pstep = step_id - 1
+            pi = pstep // nj
+            pj = pstep % nj
+            if n_scales >= 2:
+                out_dma((n_scales - 2) % 2, n_scales - 2, pi, pj).wait()
+            out_dma((n_scales - 1) % 2, n_scales - 1, pi, pj).wait()
+
         acc[:] = jnp.zeros((TH, TW), jnp.float32)
 
         for s in range(n_scales):
+            Rr, Rc = halos[s]
             slot = s % 2
             if s + 1 < n_scales:
                 in_dma((s + 1) % 2, s + 1).start()
             in_dma(slot, s).wait()
-            w = bufs[slot]
+            w = bufs[slot, 0:TH + 2 * Rr, 0:TW + 2 * Rc]
 
             # power plane; image-border halo values come from the
             # symmetric pre-pad of the detail plane, and reflection
             # commutes with squaring, so borders are exact without
             # in-kernel mirroring (single smooth — no chaining)
-            tmp_ref[:] = w * w
+            tmp_ref[0:TH + 2 * Rr, 0:TW + 2 * Rc] = w * w
 
             d = 2 ** s
-            _conv_pass_ref(tmp_ref, sm_ref, taps, d, 0)
-            _conv_pass_ref(sm_ref, tmp_ref, taps, d, 1)
-            lp = tmp_ref[R:R + TH, R:R + TW]
+            _conv_pass_ref(tmp_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+                           sm_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+                           taps, d, 0)
+            _conv_pass_ref(sm_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+                           tmp_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+                           taps, d, 1)
+            lp = tmp_ref[Rr:Rr + TH, Rc:Rc + TW]
             lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
 
-            wc = w[R:R + TH, R:R + TW]
+            wc = w[Rr:Rr + TH, Rc:Rc + TW]
             thr = thr_ref[s]
             safe_t = jnp.where(thr == 0, jnp.float32(1.0), thr)
             if soft:
@@ -117,11 +158,14 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
             acc[:] = acc[:] + white
             out_dma(ost, s).start()
 
-        # drain outstanding plane copies, then write the partial recon
-        if n_scales >= 2:
-            out_dma((n_scales - 2) % 2, n_scales - 2).wait()
-        out_dma((n_scales - 1) % 2, n_scales - 1).wait()
         recon_ref[:] = acc[:]
+
+        # the final tile must drain its own trailing copies before exit
+        @pl.when(step_id == ni * nj - 1)
+        def _():
+            if n_scales >= 2:
+                out_dma((n_scales - 2) % 2, n_scales - 2).wait()
+            out_dma((n_scales - 1) % 2, n_scales - 1).wait()
 
     return kernel
 
@@ -145,15 +189,22 @@ def fused_whiten(
     Returns ``(whitened_planes (n_scales, H, W), partial_recon (H, W))``.
     """
     _, H, W = planes.shape
-    R = 128  # fixed aligned window halo; callers gate scales via
-    # whiten_max_scale so hw·2^s ≤ R
-    TH = TW = 256  # (TH+2R)² windows: VMEM-bound — 512 tiles overflow
+    halos = _scale_halos(sf, n_scales)
+    assert all(r <= R_MAX and c <= R_MAX for r, c in halos), \
+        "scale gated by whiten_max_scale"
+    # (512, 256) tiles: big enough to amortize per-step cost, small
+    # enough that the two max-halo windows + conv scratch fit VMEM
+    TH = 512 if H % 512 == 0 else 256
+    TW = 256
     if H % TH or W % TW:
         raise ValueError("shape not tileable")
     body = planes[:n_scales]
-    padded = jnp.pad(body, ((0, 0), (R, R), (R, R)), mode="symmetric")
-    kernel = _make_whiten_kernel(n_scales, sf.taps, TH, TW, R, soft)
+    padded = jnp.pad(body, ((0, 0), (R_MAX, R_MAX), (R_MAX, R_MAX)),
+                     mode="symmetric")
+    kernel = _make_whiten_kernel(n_scales, sf.taps, TH, TW, halos, soft)
     grid = (H // TH, W // TW)
+    Rr_max = max(r for r, _ in halos)
+    Rc_max = max(c for _, c in halos)
     out, recon = pl.pallas_call(
         kernel,
         grid=grid,
@@ -172,9 +223,10 @@ def fused_whiten(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2 * R, TW + 2 * R), jnp.float32),
-            pltpu.VMEM((TH + 2 * R, TW + 2 * R), jnp.float32),
-            pltpu.VMEM((TH + 2 * R, TW + 2 * R), jnp.float32),
+            pltpu.VMEM((2, TH + 2 * Rr_max, TW + 2 * Rc_max),
+                       jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), jnp.float32),
             pltpu.VMEM((2, TH, TW), jnp.float32),
             pltpu.VMEM((TH, TW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
