@@ -29,7 +29,27 @@ import numpy as np
 from ..ops.filters import ScalingFunction
 
 __all__ = ["StageTimer", "Cost", "decompose_cost", "wow_cost",
-           "roofline", "device_sync"]
+           "roofline", "device_sync", "trace"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a ``jax.profiler`` trace of the enclosed block (view with
+    TensorBoard / Perfetto).  No-op if the backend does not support
+    profiling (some tunneled PJRT platforms)."""
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
 #: TPU v5e per-chip peaks (public spec): 394 bf16 TFLOP/s ⇒ ~197 f32
 #: via VPU+MXU mix is not meaningful for stencils — the relevant compute
