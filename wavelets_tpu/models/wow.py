@@ -57,10 +57,16 @@ class LocalReduceOps:
 
 class VmapSafeReduceOps(LocalReduceOps):
     """Reductions usable under vmap (the Pallas median kernel cannot be
-    batched; fall back to the XLA sort-based median per frame)."""
+    batched).  On accelerators the XLA sort is pathologically slow to
+    compile and run, so the vmappable streaming bisection is used; CPU
+    keeps the (fast there) sort-based median."""
 
     def median_abs(self, x):
-        return jnp.median(jnp.abs(x))
+        from ..ops.stats import _median_nonneg_bisect
+
+        if jax.default_backend() == "cpu":
+            return jnp.median(jnp.abs(x))
+        return _median_nonneg_bisect(jnp.abs(x))
 
 
 _LOCAL_OPS = LocalReduceOps()
