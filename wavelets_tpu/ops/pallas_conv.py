@@ -49,6 +49,9 @@ __all__ = ["fused_decompose", "can_fuse", "plan_groups", "MAX_FUSED_LEVELS"]
 #: largest scale group kept fully VMEM-resident (R = hw·(2^L−1) halo)
 MAX_FUSED_LEVELS = 6
 
+#: input DMA slots (depth-2 prefetch hides the per-tile DMA wait)
+N_SLOTS = 3
+
 
 def _flip_mats(R: int, dtype):
     """Anti-diagonal permutation matrix for in-kernel reversal."""
@@ -124,8 +127,7 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
         ni = pl.num_programs(0)
         nj = pl.num_programs(1)
         step = i * nj + j
-        slot = step % 2
-        nslot = (step + 1) % 2
+        slot = step % N_SLOTS
 
         def in_dma(st, ii, jj):
             return pltpu.make_async_copy(
@@ -133,16 +135,20 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                          pl.ds(jj * TW, TW + 2 * Rc)],
                 bufs.at[st], sems.at[st])
 
-        # warm-up: first grid step issues its own DMA
+        # warm-up: first grid step issues its own DMA and the next's
         @pl.when(step == 0)
         def _():
             in_dma(slot, i, j).start()
 
-        # prefetch the next tile while this one computes (double buffer)
-        nstep = step + 1
+            @pl.when(ni * nj > 1)
+            def _():
+                in_dma(1 % N_SLOTS, 1 // nj, 1 % nj).start()
+
+        # depth-2 prefetch: issue the DMA two tiles ahead
+        nstep = step + 2
         @pl.when(nstep < ni * nj)
         def _():
-            in_dma(nslot, nstep // nj, nstep % nj).start()
+            in_dma(nstep % N_SLOTS, nstep // nj, nstep % nj).start()
 
         in_dma(slot, i, j).wait()
 
@@ -241,7 +247,7 @@ def _vmem_bytes(TH: int, TW: int, level: int, R: int) -> int:
     Rr, Rc = _aligned_halos(R)
     buf = (TH + 2 * Rr) * (TW + 2 * Rc) * 4
     stage = 2 * TH * TW * 4
-    return 5 * buf + stage
+    return (N_SLOTS + 3) * buf + stage
 
 
 def _plan_tiles(H: int, W: int, level: int, R: int,
@@ -314,11 +320,11 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
             pltpu.VMEM((2, TH, TW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
