@@ -159,3 +159,23 @@ class TestShardedWow:
         for i in range(4):
             np.testing.assert_allclose(got[i], refs[i], rtol=1e-11,
                                        atol=1e-12)
+
+
+@pytest.mark.parametrize("rows,cols", [(4, 1), (1, 4), (8, 1)])
+def test_sharded_decompose_1d_meshes(rng, rows, cols):
+    """Single-axis spatial meshes (rows-only / cols-only tilings)."""
+    mesh = make_mesh(data=1, rows=rows, cols=cols,
+                     devices=jax.devices()[:rows * cols])
+    img = jnp.asarray(rng.normal(size=(128, 128)))
+    ref = decompose(img, 3, B3SPLINE)
+    got = sharded_decompose(img, 3, B3SPLINE, mesh)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_wow_hard_threshold(rng, mesh22):
+    img = jnp.asarray(rng.normal(size=(128, 128)))
+    ref, _ = wow(img, denoise_coefficients=[4, 2], soft_threshold=False)
+    got, _ = sharded_wow(img, mesh22, denoise_coefficients=[4, 2],
+                         soft_threshold=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-11, atol=1e-12)
