@@ -31,3 +31,17 @@ def test_median_bisect_exact(rng, n, dtype):
     a = jnp.abs(jnp.asarray(rng.normal(size=(n,)).astype(dtype)))
     assert float(_median_nonneg_bisect(a)) == float(
         np.median(np.asarray(a)))
+
+
+def test_erf_approximation_accuracy():
+    """The in-kernel A&S 7.1.26 erf must stay within 2e-7 of the true
+    erf over the useful range (it feeds the significance mask)."""
+    import jax.numpy as jnp
+    import scipy.special
+
+    from wavelets_tpu.ops.pallas_wow import _erf_pos
+
+    x = np.linspace(0.0, 6.0, 20001).astype(np.float64)
+    got = np.asarray(_erf_pos(jnp.asarray(x)))
+    ref = scipy.special.erf(x)
+    assert np.abs(got - ref).max() < 2e-7
