@@ -179,3 +179,13 @@ def test_sharded_wow_hard_threshold(rng, mesh22):
                          soft_threshold=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-11, atol=1e-12)
+
+
+def test_sharded_bilateral_deep_scale_fallback(rng, mesh42):
+    """Bilateral reach beyond the local tile → all_gather fallback."""
+    img = jnp.asarray(rng.normal(size=(64, 64)))  # local tiles 16x32
+    bil = (1.0,) * 6
+    ref = decompose(img, 5, B3SPLINE, bilateral=bil)
+    got = sharded_decompose(img, 5, B3SPLINE, mesh42, bilateral=bil)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-9, atol=1e-11)

@@ -132,3 +132,13 @@ def test_coefficients_len_and_array(data_2d):
     assert isinstance(coeffs, Coefficients)
     arr = np.asarray(coeffs)
     assert arr.shape == (4, 128, 128)
+
+
+def test_bfloat16_round_trip(rng):
+    """bf16 inputs flow through the (dtype-preserving) XLA path."""
+    x = jnp.asarray(rng.normal(size=(128, 128)), dtype=jnp.bfloat16)
+    coeffs = AtrousTransform()(x, 3)
+    assert coeffs.data.dtype == jnp.bfloat16
+    recon = jnp.sum(coeffs.data, axis=0).astype(jnp.float32)
+    err = np.abs(np.asarray(recon) - np.asarray(x.astype(jnp.float32)))
+    assert err.max() < 0.05  # bf16 precision

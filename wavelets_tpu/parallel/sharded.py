@@ -109,9 +109,29 @@ def _bilateral_smooth_local(x, var, sf: ScalingFunction, s: int,
     row_axis, col_axis = x.ndim - 2, x.ndim - 1
     nloc_r, nloc_c = x.shape[row_axis], x.shape[col_axis]
     if h > nloc_r or h > nloc_c:
-        raise NotImplementedError(
-            "bilateral reach exceeds local tile; use fewer scales or a "
-            "coarser spatial sharding")
+        # deep-scale fallback: reach exceeds the tile — gather the full
+        # (heavily smoothed) plane and its variance, run the dense
+        # bilateral conv, slice the local block back (cf. halo.py)
+        from ..ops.conv import atrous_conv_nd
+
+        full_x = lax.all_gather(x, ROW_AXIS, axis=row_axis, tiled=True)
+        full_x = lax.all_gather(full_x, COL_AXIS, axis=col_axis,
+                                tiled=True)
+        full_v = lax.all_gather(var, ROW_AXIS, axis=row_axis, tiled=True)
+        full_v = lax.all_gather(full_v, COL_AXIS, axis=col_axis,
+                                tiled=True)
+        kern = sf.kernel_nd(2)
+        conv = lambda xi, vi: atrous_conv_nd(
+            xi, kern, s, bilateral_variance=vi, boundary="symmetric")
+        for _ in range(x.ndim - 2):
+            conv = jax.vmap(conv)
+        out_full = conv(full_x, full_v)
+        ri = lax.axis_index(ROW_AXIS)
+        ci = lax.axis_index(COL_AXIS)
+        out = lax.dynamic_slice_in_dim(out_full, ri * nloc_r, nloc_r,
+                                       axis=row_axis)
+        return lax.dynamic_slice_in_dim(out, ci * nloc_c, nloc_c,
+                                        axis=col_axis)
     ext = _halo_extend_2d(x, h, n_rows, n_cols)
     kernel = sf.kernel_nd(2)
     center = float(kernel[hw, hw])
