@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Hardware validation suite: run on the attached TPU (NOT under the CPU
+test conftest).  Exercises every Pallas fast path against the XLA
+reference semantics on-device and prints PASS/FAIL lines plus headline
+timings.
+
+Usage: cd /root/repo && python scripts/tpu_check.py
+(One TPU process at a time; first compiles take minutes.)"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+W = importlib.import_module("wavelets_tpu.models.wow")
+from wavelets_tpu.core.transform import decompose
+from wavelets_tpu.ops.filters import B3SPLINE, TRIANGLE
+from wavelets_tpu.ops.stats import _median_nonneg_pallas
+
+ssum = jax.jit(jnp.sum)
+failures = []
+
+
+def check(name, ok):
+    print(("PASS " if ok else "FAIL ") + name, flush=True)
+    if not ok:
+        failures.append(name)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+
+    # fused decompose: bitwise vs XLA
+    for sf, L in [(B3SPLINE, 6), (TRIANGLE, 4), (B3SPLINE, 8)]:
+        ref = decompose(x, L, sf, use_pallas=False)
+        got = decompose(x, L, sf, use_pallas=True)
+        check(f"decompose bitwise {sf.name} L{L}",
+              bool((np.asarray(got) == np.asarray(ref)).all()))
+
+    # fused whiten vs XLA body
+    planes = decompose(x, 6, B3SPLINE)
+    args = (planes, jnp.zeros(()), False, B3SPLINE, 6, (1.0,) * 7)
+    ref_r, ref_p = W._wow_body(*args, True,
+                               (5., 2., 0., 0., 0., 0., 1.), False,
+                               True, False, 3.2, None, None, 0.0)
+    got_r, got_p = W._wow_body_fused(*args,
+                                     (5., 2., 0., 0., 0., 0., 1.), True)
+    err = max(float(jnp.abs(got_r - ref_r).max()),
+              float(jnp.abs(got_p - ref_p).max()))
+    check(f"fused whiten err={err:.2e}", err < 5e-5)
+
+    # mega kernel (not dispatched, still must be correct)
+    got_r, got_p = W._wow_mega(x, jnp.zeros(()), False, B3SPLINE, 6,
+                               (1.0,) * 7,
+                               (5., 2., 0., 0., 0., 0., 1.), True)
+    err = float(jnp.abs(got_r - ref_r).max())
+    check(f"mega kernel err={err:.2e}", err < 5e-5)
+
+    # exact median
+    a = jnp.abs(jnp.asarray(
+        rng.normal(size=(1024 * 1024,)).astype(np.float32)))
+    m = float(_median_nonneg_pallas(a))
+    check("pallas median exact",
+          m == float(np.median(np.asarray(a))))
+
+    # headline timing (4k L10 wow)
+    big = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+    st = dict(sf=B3SPLINE, n_scales=10, weights=(1.0,) * 11,
+              whitening=True,
+              denoise_coefficients=(0.0,) * 10 + (1.0,),
+              bilateral=None, bilateral_scaling=False,
+              soft_threshold=True, preserve_variance=False, gamma=3.2,
+              gamma_min=None, gamma_max=None, h=0.0, has_noise=False)
+    zero = jnp.zeros((), jnp.float32)
+    f = jax.jit(lambda a: W.wow_core(a, zero, **st)[0])
+    y = f(big)
+    float(ssum(y))
+    t0 = time.perf_counter()
+    z = big
+    for _ in range(10):
+        z = f(z)
+    float(ssum(z))
+    dt = (time.perf_counter() - t0) / 10
+    print(f"wow 4k L10: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps", flush=True)
+    check("wow 4k L10 under 40ms", dt < 0.040)
+
+    print(("ALL PASS" if not failures else
+           f"{len(failures)} FAILURES: {failures}"), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
