@@ -142,3 +142,16 @@ def test_bfloat16_round_trip(rng):
     recon = jnp.sum(coeffs.data, axis=0).astype(jnp.float32)
     err = np.abs(np.asarray(recon) - np.asarray(x.astype(jnp.float32)))
     assert err.max() < 0.05  # bf16 precision
+
+
+def test_bfloat16_wow(rng):
+    """bf16 WOW matches f32 within bf16 precision (~0.6% rel) — the
+    high-throughput serving mode (2× HBM bandwidth)."""
+    import wavelets_tpu as wt
+
+    x = rng.normal(size=(256, 256)).astype(np.float32)
+    rf, _ = wt.wow(jnp.asarray(x), denoise_coefficients=[5, 2], noise=1.0)
+    rb, _ = wt.wow(jnp.asarray(x, dtype=jnp.bfloat16),
+                   denoise_coefficients=[5, 2], noise=1.0)
+    rel = np.abs(np.asarray(rb.astype(jnp.float32)) - np.asarray(rf))
+    assert rel.max() / np.abs(np.asarray(rf)).max() < 0.03
