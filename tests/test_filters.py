@@ -71,3 +71,22 @@ def test_get_scaling_function():
     assert get_scaling_function("Triangle") is TRIANGLE
     with pytest.raises(ValueError):
         get_scaling_function("haar")
+
+
+def test_module_path_compat():
+    """watroo module-path parity: the reference's import paths resolve."""
+    from wavelets_tpu.wavelets import (  # noqa: F401
+        AtrousTransform,
+        B3spline,
+        Coefficients,
+        convolution,
+        generalized_anscombe,
+    )
+    from wavelets_tpu.utils import denoise, richardson_lucy, wow
+
+    import wavelets_tpu as wt
+
+    assert wow is wt.wow
+    assert denoise is wt.denoise
+    assert richardson_lucy is wt.richardson_lucy
+    assert AtrousTransform is wt.AtrousTransform

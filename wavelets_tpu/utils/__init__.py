@@ -15,4 +15,31 @@ __all__ = [
     "decompose_cost",
     "wow_cost",
     "roofline",
+    # watroo.utils module-path compatibility (lazy: avoids import cycles)
+    "denoise",
+    "wow",
+    "richardson_lucy",
+    "enhance",
+    "prepare_params",
 ]
+
+_WATROO_UTILS_COMPAT = {
+    "denoise": ("wavelets_tpu.models.denoise", "denoise"),
+    "wow": ("wavelets_tpu.models.wow", "wow"),
+    "richardson_lucy": ("wavelets_tpu.models.richardson_lucy",
+                        "richardson_lucy"),
+    "enhance": ("wavelets_tpu.models.enhance", "enhance"),
+    "prepare_params": ("wavelets_tpu.models.enhance", "prepare_params"),
+}
+
+
+def __getattr__(name):
+    """``watroo.utils`` path parity: ``from wavelets_tpu.utils import
+    wow`` works like the reference's ``from watroo.utils import wow``."""
+    try:
+        mod_name, attr = _WATROO_UTILS_COMPAT[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
