@@ -152,11 +152,13 @@ def _wow_body_fused(
     ])
     factors = jnp.asarray([weights[s] for s in range(n_fast)],
                           planes.dtype)
-    white_fast, partial = fused_whiten(
+    # the kernel allocates the full (n_scales+1) cube and fills planes
+    # 0..n_fast−1; deep scales and the residual are inserted in place
+    # (XLA updates the freshly-produced buffer without re-copying it)
+    out, partial = fused_whiten(
         planes, factors, thresholds, sf, n_fast, soft=soft_threshold,
-        interpret=jax.default_backend() == "cpu")
+        n_total=n_scales, interpret=jax.default_backend() == "cpu")
 
-    out_planes = [white_fast[s] for s in range(n_fast)]
     recon = partial
     # deep detail scales: XLA path (halo exceeds the VMEM window)
     for s in range(n_fast, n_scales):
@@ -167,16 +169,16 @@ def _wow_body_fused(
             c = c * significance(c, denoise_coefficients[s], noise,
                                  float(sigma_e[s]), soft_threshold)
         c = c * (weights[s] / lp)
-        out_planes.append(c)
+        out = out.at[s].set(c)
         recon = recon + c
     # residual: global-std normalization (watroo/utils.py:185-191)
     c = planes[n_scales]
     lp = jnp.std(c)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
     c = c * (weights[n_scales] / lp)
-    out_planes.append(c)
+    out = out.at[n_scales].set(c)
     recon = recon + c
-    return recon, jnp.stack(out_planes)
+    return recon, out
 
 
 def _wow_body(

@@ -172,7 +172,7 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf", "n_scales", "soft", "interpret"))
+    static_argnames=("sf", "n_scales", "soft", "n_total", "interpret"))
 def fused_whiten(
     planes: jax.Array,
     factors: jax.Array,
@@ -180,13 +180,17 @@ def fused_whiten(
     sf: ScalingFunction,
     n_scales: int,
     soft: bool = True,
+    n_total: int = None,
     interpret: bool = False,
 ):
     """Whiten detail planes 0..n_scales−1 of ``planes``.
 
     ``factors[s]``: scalar multiplier (w_s · power_norm_s);
     ``thresholds[s]``: significance threshold (0 → none).
-    Returns ``(whitened_planes (n_scales, H, W), partial_recon (H, W))``.
+    Returns ``(whitened_planes, partial_recon (H, W))`` where the plane
+    cube has ``n_total+1`` planes (default ``n_scales``): the kernel
+    fills 0..n_scales−1 and leaves the rest for the caller to insert in
+    place (deep scales + residual) — avoiding a full re-stack copy.
     """
     _, H, W = planes.shape
     halos = _scale_halos(sf, n_scales)
@@ -205,11 +209,12 @@ def fused_whiten(
     grid = (H // TH, W // TW)
     Rr_max = max(r for r, _ in halos)
     Rc_max = max(c for _, c in halos)
+    n_out = n_scales if n_total is None else n_total + 1
     out, recon = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((n_scales, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, H, W), jnp.float32),
             jax.ShapeDtypeStruct((H, W), jnp.float32),
         ),
         in_specs=[
