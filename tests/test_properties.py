@@ -70,8 +70,12 @@ def test_noise_shrinks_under_denoise(rng):
     """Denoising a pure-noise image must reduce its variance a lot while
     denoising a smooth image must roughly preserve it."""
     noise = rng.normal(size=(256, 256))
-    out = np.asarray(wt.denoise(noise, [3] * 5))
-    assert out.std() < 0.45 * noise.std()
+    # the erf soft mask attenuates (≈0.55σ residual); hard thresholding
+    # removes outright (≈0.15σ)
+    soft = np.asarray(wt.denoise(noise, [3] * 5))
+    assert soft.std() < 0.65 * noise.std()
+    hard = np.asarray(wt.denoise(noise, [3] * 5, soft_threshold=False))
+    assert hard.std() < 0.25 * noise.std()
 
     yy, xx = np.mgrid[0:256, 0:256]
     smooth_img = np.sin(xx / 40.0) * np.cos(yy / 30.0) * 10
