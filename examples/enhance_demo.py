@@ -85,22 +85,8 @@ def main():
         sharp = wt.richardson_lucy(blurred, psf, iterations=3, fft=True)
         box["out"] = sharp
     write_array("examples/scene_deconvolved.f32", np.asarray(sharp))
-    # RL trades global MSE for small-scale contrast: report how much of
-    # the blur it undid on the fine structure (residual to the true PSF
-    # forward model) rather than whole-frame PSNR
-    import jax.numpy as _jnp
-    from jax import lax as _lax
-
-    def fwd(img):
-        return np.asarray(_lax.conv_general_dilated(
-            _jnp.asarray(img, _jnp.float32)[None, None],
-            _jnp.asarray(psf)[None, None], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0])
-
-    fit_before = float(np.mean((fwd(blurred) - blurred) ** 2))
-    fit_after = float(np.mean((fwd(np.asarray(sharp)) - blurred) ** 2))
-    print(f"deconv forward-model residual: {fit_before:.4f} -> "
-          f"{fit_after:.4f} (lower = sharper estimate)")
+    # (RL quality/parity is covered by the golden tests; whole-frame MSE
+    # is not a meaningful metric for deconvolution of smooth scenes)
 
     print(timer.report())
 
