@@ -65,3 +65,16 @@ def test_can_fuse_dispatch():
         x32, 6, B3SPLINE, None, (0, 1), "reflect", backend="tpu")
     assert not pallas_conv.can_fuse(
         x32, 6, B3SPLINE, None, (0, 1), "symmetric", backend="cpu")
+
+
+def test_fused_bf16_matches_xla_bf16(rng):
+    """The kernels are dtype-generic: forced-bf16 fused decompose matches
+    the XLA bf16 path within bf16 rounding.  (Dispatch keeps bf16 on the
+    XLA path for speed; this guards the kernel's generality.)"""
+    x = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ref = decompose(x, 4, B3SPLINE, use_pallas=False)
+    got = decompose(x, 4, B3SPLINE, use_pallas=True)
+    d = np.abs(np.asarray(got.astype(jnp.float32))
+               - np.asarray(ref.astype(jnp.float32))).max()
+    assert d < 0.05

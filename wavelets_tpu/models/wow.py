@@ -81,6 +81,7 @@ def _can_fuse_whiten(planes, n_scales, whitening, preserve_variance,
         return False
     if not whitening or preserve_variance or gamma_active or bilateral:
         return False
+    # f32 only — in bf16 the XLA path is faster (see pallas_conv.can_fuse)
     if planes.ndim != 3 or planes.dtype != jnp.float32:
         return False
     H, W = planes.shape[1:]
@@ -145,13 +146,14 @@ def _wow_body_fused(
     noise = jnp.asarray(noise, planes.dtype)
 
     n_fast = min(n_scales, whiten_max_scale(sf) + 1)
+    noise32 = noise.astype(jnp.float32)
     thresholds = jnp.stack([
-        (denoise_coefficients[s] * float(sigma_e[s])) * noise
-        if denoise_coefficients[s] != 0 else jnp.zeros((), planes.dtype)
+        (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+        if denoise_coefficients[s] != 0 else jnp.zeros((), jnp.float32)
         for s in range(n_fast)
     ])
     factors = jnp.asarray([weights[s] for s in range(n_fast)],
-                          planes.dtype)
+                          jnp.float32)
     # the kernel allocates the full (n_scales+1) cube and fills planes
     # 0..n_fast−1; deep scales and the residual are inserted in place
     # (XLA updates the freshly-produced buffer without re-copying it)

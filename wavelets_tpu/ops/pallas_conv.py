@@ -61,24 +61,29 @@ def _flip_mats(R: int, dtype):
 
 
 def _exact_dot(a, b):
-    """f32-exact matmul with a 0/1 permutation matrix via bf16×3 split
-    (MXU rounds f32 inputs to bf16; the three-term split is lossless)."""
-    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    mid = (a - hi).astype(jnp.bfloat16).astype(jnp.float32)
-    lo = a - hi - mid
+    """Exact matmul with a 0/1 permutation matrix.  f32 inputs use a
+    bf16×3 split (the MXU rounds f32 inputs to bf16; the three-term
+    split is lossless); bf16 inputs are already exact on the MXU."""
     dot = lambda x: jax.lax.dot_general(
         x, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if a.dtype == jnp.bfloat16:
+        return dot(a).astype(jnp.bfloat16)
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = (a - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    lo = a - hi - mid
     return dot(hi) + dot(mid) + dot(lo)
 
 
 def _exact_dot_left(a, b):
-    hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    mid = (b - hi).astype(jnp.bfloat16).astype(jnp.float32)
-    lo = b - hi - mid
     dot = lambda x: jax.lax.dot_general(
         a, x, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if b.dtype == jnp.bfloat16:
+        return dot(b).astype(jnp.bfloat16)
+    hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = (b - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    lo = b - hi - mid
     return dot(hi) + dot(mid) + dot(lo)
 
 
@@ -96,11 +101,13 @@ def _conv_pass_ref(src_ref, dst_ref, taps, d: int, axis: int):
             return src_ref[lo:hi, :]
         return src_ref[:, lo:hi]
 
-    out = sl(m, n - m) * taps[hw]
+    dt = src_ref.dtype
+    out = sl(m, n - m).astype(jnp.float32) * taps[hw]
     for j in range(1, hw + 1):
-        left = sl(m - j * d, n - m - j * d)
-        right = sl(m + j * d, n - m + j * d)
+        left = sl(m - j * d, n - m - j * d).astype(jnp.float32)
+        right = sl(m + j * d, n - m + j * d).astype(jnp.float32)
         out = out + taps[hw + j] * (left + right)
+    out = out.astype(dt)
     if axis == 0:
         dst_ref[m:n - m, :] = out
     else:
@@ -109,11 +116,12 @@ def _conv_pass_ref(src_ref, dst_ref, taps, d: int, axis: int):
 
 def _aligned_halos(R: int) -> Tuple[int, int]:
     """Halo widths rounded up for TPU tiling: sublane extent (TH+2Rr)
-    must be a multiple of 8, lane extent (TW+2Rc) a multiple of 128
-    (TH/TW are multiples of 128)."""
-    Rr = -(-R // 8) * 8
+    must be a multiple of 16 (covers both the f32 (8,128) and bf16
+    (16,128) tilings), lane extent (TW+2Rc) a multiple of 128 (TH/TW
+    are multiples of 128)."""
+    Rr = -(-R // 16) * 16
     Rc = -(-R // 64) * 64
-    return max(Rr, 8), max(Rc, 64)
+    return max(Rr, 16), max(Rc, 64)
 
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
@@ -172,8 +180,8 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                 out_dma((level - 1) % 2, level - 1, pi, pj).wait()
             out_dma(level % 2, level, pi, pj).wait()
 
-        Jr = _flip_mats(Rr, jnp.float32)
-        Jc = _flip_mats(Rc, jnp.float32)
+        Jr = _flip_mats(Rr, bufs.dtype)
+        Jc = _flip_mats(Rc, bufs.dtype)
         # ping-pong refs: cur holds smooth_s, tmp the row pass, sm the
         # scale result; cur and sm swap roles each scale.  The DMA slot
         # buffer doubles as the first cur.
@@ -281,6 +289,10 @@ def can_fuse(x, level: int, sf: ScalingFunction, bilateral, axes,
         return False
     if x.ndim != 2 or (axes is not None and tuple(axes) != (0, 1)):
         return False
+    # f32 only: the kernels are dtype-generic (bf16 verified), but in
+    # bf16 the plain XLA path is faster — halved HBM traffic benefits
+    # XLA's fusions fully, while the kernels are bounded by per-step
+    # overheads that do not shrink with the dtype.
     if x.dtype != jnp.float32:
         return False
     if backend is None:
@@ -313,17 +325,18 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     xp = jnp.pad(x, ((Rr, Rr), (Rc, Rc)), mode="symmetric")
     kernel = _make_kernel(level, sf.taps, TH, TW, R, offset)
     grid = (H // TH, W // TW)
+    dt = x.dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((level + 1, H, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((level + 1, H, W), dt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((2, TH, TW), jnp.float32),
+            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+            pltpu.VMEM((2, TH, TW), dt),
             pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -68,7 +68,8 @@ def _scale_halos(sf: ScalingFunction, n_scales: int):
     halos = []
     for s in range(n_scales):
         r = sf.half_width * (2 ** s)
-        halos.append((max(-(-r // 8) * 8, 8), R_MAX))
+        # rows multiple of 16: covers f32 (8,128) and bf16 (16,128) tiling
+        halos.append((max(-(-r // 16) * 16, 16), R_MAX))
     return halos
 
 
@@ -114,7 +115,7 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
                 out_dma((n_scales - 2) % 2, n_scales - 2, pi, pj).wait()
             out_dma((n_scales - 1) % 2, n_scales - 1, pi, pj).wait()
 
-        acc[:] = jnp.zeros((TH, TW), jnp.float32)
+        acc[:] = jnp.zeros((TH, TW), acc.dtype)
 
         for s in range(n_scales):
             Rr, Rc = halos[s]
@@ -137,10 +138,10 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
             _conv_pass_ref(sm_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
                            tmp_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
                            taps, d, 1)
-            lp = tmp_ref[Rr:Rr + TH, Rc:Rc + TW]
+            lp = tmp_ref[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
             lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
 
-            wc = w[Rr:Rr + TH, Rc:Rc + TW]
+            wc = w[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
             thr = thr_ref[s]
             safe_t = jnp.where(thr == 0, jnp.float32(1.0), thr)
             if soft:
@@ -153,7 +154,7 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
             ost = s % 2
             if s >= 2:
                 out_dma(ost, s - 2).wait()
-            white = wden * (fac_ref[s] / lp)
+            white = (wden * (fac_ref[s] / lp)).astype(stage.dtype)
             stage[ost] = white
             acc[:] = acc[:] + white
             out_dma(ost, s).start()
@@ -210,12 +211,13 @@ def fused_whiten(
     Rr_max = max(r for r, _ in halos)
     Rc_max = max(c for _, c in halos)
     n_out = n_scales if n_total is None else n_total + 1
+    dt = planes.dtype
     out, recon = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((n_out, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, H, W), dt),
+            jax.ShapeDtypeStruct((H, W), dt),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -228,12 +230,11 @@ def fused_whiten(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2 * Rr_max, TW + 2 * Rc_max),
-                       jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), jnp.float32),
-            pltpu.VMEM((2, TH, TW), jnp.float32),
-            pltpu.VMEM((TH, TW), jnp.float32),
+            pltpu.VMEM((2, TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
+            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
+            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
+            pltpu.VMEM((2, TH, TW), dt),
+            pltpu.VMEM((TH, TW), dt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
