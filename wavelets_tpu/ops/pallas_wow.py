@@ -41,6 +41,9 @@ __all__ = ["fused_whiten", "whiten_max_scale"]
 #: fixed outer pad of the plane stack; per-scale windows shrink inside it
 R_MAX = 128
 
+#: input DMA slots (prefetch depth for the per-scale plane windows)
+NSLOT = 4
+
 
 def _erf_pos(x):
     """erf for x ≥ 0 via Abramowitz & Stegun 7.1.26 (max abs error
@@ -102,7 +105,10 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
                 out_ref.at[s, pl.ds(ii * TH, TH), pl.ds(jj * TW, TW)],
                 osems.at[st])
 
-        in_dma(0, 0).start()
+        # per-scale input windows are independent: keep up to NSLOT DMAs
+        # in flight so later scales' transfers overlap earlier compute
+        for s in range(min(n_scales, NSLOT)):
+            in_dma(s, s).start()
 
         # the previous tile's last two plane copies are still in flight
         # (deferred drain): complete them before reusing the stage slots
@@ -119,9 +125,7 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
 
         for s in range(n_scales):
             Rr, Rc = halos[s]
-            slot = s % 2
-            if s + 1 < n_scales:
-                in_dma((s + 1) % 2, s + 1).start()
+            slot = s % NSLOT
             in_dma(slot, s).wait()
             w = bufs[slot, 0:TH + 2 * Rr, 0:TW + 2 * Rc]
 
@@ -158,6 +162,10 @@ def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
             stage[ost] = white
             acc[:] = acc[:] + white
             out_dma(ost, s).start()
+            # slot s%NSLOT is free once this scale's reads are done;
+            # refill it with the window NSLOT scales ahead
+            if s + NSLOT < n_scales:
+                in_dma(slot, s + NSLOT).start()
 
         recon_ref[:] = acc[:]
 
@@ -230,12 +238,13 @@ def fused_whiten(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
+            pltpu.VMEM((min(n_scales, NSLOT), TH + 2 * Rr_max,
+                        TW + 2 * Rc_max), dt),
             pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
             pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
             pltpu.VMEM((2, TH, TW), dt),
             pltpu.VMEM((TH, TW), dt),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((min(n_scales, NSLOT),)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
