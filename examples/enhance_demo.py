@@ -42,13 +42,20 @@ def psnr(clean, test):
     return 10 * np.log10(float(clean.max()) ** 2 / mse)
 
 
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _out(name):
+    return os.path.join(OUT_DIR, name)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     rng = np.random.default_rng(0)
     scene = make_scene(n, rng)
     noisy = (scene + rng.normal(scale=1.0, size=scene.shape)
              ).astype(np.float32)
-    write_array("examples/scene_noisy.f32", noisy)
+    write_array(_out("scene_noisy.f32"), noisy)
 
     timer = StageTimer()
 
@@ -56,12 +63,12 @@ def main():
         enhanced, _ = wt.wow(noisy, denoise_coefficients=[5, 2],
                              bilateral=1)
         box["out"] = enhanced
-    write_array("examples/scene_wow.f32", np.asarray(enhanced))
+    write_array(_out("scene_wow.f32"), np.asarray(enhanced))
 
     with timer.stage("denoise") as box:
         clean = wt.denoise(noisy, [5, 3, 2])
         box["out"] = clean
-    write_array("examples/scene_denoised.f32", np.asarray(clean))
+    write_array(_out("scene_denoised.f32"), np.asarray(clean))
     print(f"denoise PSNR: noisy {psnr(scene, noisy):.1f} dB -> "
           f"{psnr(scene, np.asarray(clean, dtype=np.float64)):.1f} dB")
 
@@ -84,7 +91,7 @@ def main():
     with timer.stage("richardson_lucy") as box:
         sharp = wt.richardson_lucy(blurred, psf, iterations=3, fft=True)
         box["out"] = sharp
-    write_array("examples/scene_deconvolved.f32", np.asarray(sharp))
+    write_array(_out("scene_deconvolved.f32"), np.asarray(sharp))
     # (RL quality/parity is covered by the golden tests; whole-frame MSE
     # is not a meaningful metric for deconvolution of smooth scenes)
 
