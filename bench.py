@@ -1,87 +1,10 @@
 #!/usr/bin/env python
-"""Headline benchmark: 4096×4096 standard WOW, auto scale count (10),
-single chip — the reference's config #4 (BASELINE.md: 27.3 s ⇒ 0.037
-frames/s on 1× CPU; measured there, the repo publishes no numbers).
+"""Repo-root bench entry point (the driver runs `python bench.py`).
 
-Timing methodology: on the axon-tunneled TPU, ``block_until_ready`` does
-not actually synchronize, so each iteration is *chained* (the output
-feeds the next input, forcing sequential device execution) and the run
-ends with a jitted scalar reduction whose host transfer forces the whole
-chain; the separately-measured scalar sync round trip is subtracted.
+The implementation lives in wavelets_tpu.bench so the installed console
+script (`wavelets-tpu bench`) works outside the repo checkout too."""
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-"""
-
-import json
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-BASELINE_FPS = 0.037  # BASELINE.md row 4: 4k² standard WOW, 1× CPU
-
-
-def main():
-    from wavelets_tpu.models.wow import wow_core
-    from wavelets_tpu.ops.filters import B3SPLINE
-
-    n = 4096
-    n_scales = 10  # wow() auto: round(log2(4096) - log2(5)) = 10
-    rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
-
-    statics = dict(
-        sf=B3SPLINE,
-        n_scales=n_scales,
-        weights=(1.0,) * (n_scales + 1),
-        whitening=True,
-        denoise_coefficients=(0.0,) * n_scales + (1.0,),
-        bilateral=None,
-        bilateral_scaling=False,
-        soft_threshold=True,
-        preserve_variance=False,
-        gamma=3.2,
-        gamma_min=None,
-        gamma_max=None,
-        h=0.0,
-        has_noise=False,
-    )
-    zero = jnp.zeros((), jnp.float32)
-
-    def step(x):
-        recon, _ = wow_core(x, zero, **statics)
-        return recon
-
-    ssum = jax.jit(jnp.sum)
-
-    # warmup / compile
-    step(data).block_until_ready()
-    float(ssum(data))
-
-    # per-sync overhead (scalar reduction + host transfer round trip)
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(ssum(data))
-    rtt = (time.perf_counter() - t0) / reps
-
-    iters = 30
-    t0 = time.perf_counter()
-    x = data
-    for _ in range(iters):
-        x = step(x)
-    float(ssum(x))  # forces the whole chain
-    dt = (time.perf_counter() - t0 - rtt) / iters
-    fps = 1.0 / dt
-
-    print(json.dumps({
-        "metric": "wow_4k_auto10scale_frames_per_s_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 1),
-    }))
-
+from wavelets_tpu.bench import main
 
 if __name__ == "__main__":
     main()

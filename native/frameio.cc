@@ -154,8 +154,14 @@ void* wtio_open(const char* path, int64_t offset, int64_t frame_bytes,
     ::close(fd);
     return nullptr;
   }
-  int64_t need = offset + frame_bytes * n_frames;
-  if (st.st_size < need) {
+  // Reject sizes that are non-positive or whose product/sum would
+  // overflow int64 (a wrapped-negative `need` would pass the st_size
+  // check and let frame reads run past the mmap bounds).
+  int64_t need = 0, total = 0;
+  if (offset < 0 || frame_bytes <= 0 || n_frames <= 0 ||
+      __builtin_mul_overflow(frame_bytes, n_frames, &total) ||
+      __builtin_add_overflow(offset, total, &need) ||
+      st.st_size < need) {
     ::close(fd);
     return nullptr;
   }

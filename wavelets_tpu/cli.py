@@ -64,7 +64,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
-        import bench as bench_mod  # repo-root bench when run from repo
+        from . import bench as bench_mod
 
         bench_mod.main()
         return 0

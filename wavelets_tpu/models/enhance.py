@@ -1,13 +1,12 @@
 """Per-channel denoise/enhance pipeline (reference: watroo/utils.py:10-80).
 
-``prepare_params`` normalizes scalar/list/None per-channel parameter specs;
-``enhance`` runs the denoise+weight pipeline per channel (axis 0 for 3-D
-input).  Kept for parity although unexported by the reference's
-``__all__`` (watroo/utils.py:7)."""
+``prepare_params`` normalizes scalar/list/None per-channel parameter
+specs to nested lists; ``enhance`` runs the denoise+weight pipeline on
+one image (or per channel along axis 0 for 3-D input).  Kept for parity
+although unexported by the reference's ``__all__`` (watroo/utils.py:7).
+"""
 
 from __future__ import annotations
-
-import copy
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,66 +17,58 @@ __all__ = ["enhance", "prepare_params"]
 
 
 def prepare_params(param, ndims):
-    """Normalize per-channel parameter specs (watroo/utils.py:10-33)."""
+    """Normalize a per-channel parameter spec to a list (2-D) or a list of
+    per-channel lists (3-D) — output contract of watroo/utils.py:10-33.
+
+    2-D: ``None`` → ``[]``, a scalar → ``[scalar]``, a list is copied.
+    3-D: a non-list is broadcast to every channel; a list must have one
+    entry per channel, each normalized recursively (``None`` → ``[]``).
+    """
     if ndims == 2:
         if param is None:
-            l = []
-        elif type(param) is not list:
-            l = [param]
-        else:
-            l = copy.copy(param)
-    else:
-        if type(param) is not list:
-            if param is None:
-                l = [[], ] * ndims
-            else:
-                l = [[param], ] * ndims
-        else:
-            if len(param) != ndims:
-                raise ValueError("Invalid number of parameters")
-            l = [prepare_params(p, 2) for p in param]
-            if None in l:
-                l[l.index(None)] = []
-    return l
+            return []
+        return list(param) if isinstance(param, list) else [param]
+    if not isinstance(param, list):
+        return [prepare_params(param, 2) for _ in range(ndims)]
+    if len(param) != ndims:
+        raise ValueError("Invalid number of parameters")
+    return [prepare_params(p, 2) for p in param]
 
 
 def enhance(*args, weights=None, denoise=None, soft_threshold=True, out=None,
             **kwargs):
     """De-noising and/or enhancement by modification of wavelet
-    coefficients (watroo/utils.py:36-80).
+    coefficients (reference semantics: watroo/utils.py:36-80).
 
     ``args[0]`` is the image (2-D, or 3-D with channels on axis 0);
-    optional ``args[1]`` supplies a per-channel noise level.  Extra
-    keyword arguments are forwarded to :class:`AtrousTransform`.
+    optional ``args[1]`` supplies a (per-channel for 3-D) noise level.
+    Extra keyword arguments are forwarded to :class:`AtrousTransform`.
     """
     img = args[0]
-    channels = [0, 1, 2] if img.ndim == 3 else [Ellipsis]
-
+    noise = args[1] if len(args) == 2 else None
     weights = prepare_params(weights, img.ndim)
     denoise = prepare_params(denoise, img.ndim)
-
     atrous = AtrousTransform(**kwargs)
-    results = {}
-    for c in channels:
-        dns = list(denoise if c is Ellipsis else denoise[c])
-        wgt = list(weights if c is Ellipsis else weights[c])
-        if len(wgt) < len(dns):
-            wgt.extend([1] * (len(dns) - len(wgt)))
-        elif len(dns) < len(wgt):
-            dns.extend([0] * (len(wgt) - len(dns)))
 
-        coeffs = atrous(img[c], len(wgt))
-        if len(args) == 2:
-            coeffs.noise = args[1] if c is Ellipsis else args[1][c]
-        else:
-            coeffs.noise = coeffs.get_noise()
+    def one_channel(channel, wgt, dns, channel_noise):
+        # pad the shorter of (weights, denoise) so both cover the same
+        # scale count: missing weights default to 1, missing denoise to 0
+        wgt = list(wgt) + [1] * (len(dns) - len(wgt))
+        dns = list(dns) + [0] * (len(wgt) - len(dns))
+        coeffs = atrous(channel, len(wgt))
+        coeffs.noise = (coeffs.get_noise() if channel_noise is None
+                        else channel_noise)
         coeffs.denoise(dns, weights=wgt, soft_threshold=soft_threshold)
-        results[c] = jnp.sum(coeffs.data, axis=0)
+        return jnp.sum(coeffs.data, axis=0)
 
     if img.ndim == 3:
-        result = jnp.stack([results[c] for c in channels])
+        result = jnp.stack([
+            one_channel(img[c], weights[c], denoise[c],
+                        None if noise is None else noise[c])
+            for c in range(3)])
     else:
-        result = results[Ellipsis]
+        result = one_channel(img, weights, denoise, noise)
+
     if out is not None:
         out[...] = np.asarray(result)
         return out
