@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 import importlib
 W = importlib.import_module("wavelets_tpu.models.wow")
-from wavelets_tpu.core.transform import decompose
+from wavelets_tpu.core.transform import decompose, decompose_pieces
 from wavelets_tpu.ops.filters import B3SPLINE, TRIANGLE
 from wavelets_tpu.ops.stats import _median_nonneg_pallas
 
@@ -45,13 +45,15 @@ def main():
         check(f"decompose bitwise {sf.name} L{L}",
               bool((np.asarray(got) == np.asarray(ref)).all()))
 
-    # fused whiten vs XLA body
-    planes = decompose(x, 6, B3SPLINE)
-    args = (planes, jnp.zeros(()), False, B3SPLINE, 6, (1.0,) * 7)
-    ref_r, ref_p = W._wow_body(*args, True,
+    # fused whiten (pieces/layout form) vs XLA body
+    planes = decompose(x, 6, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(planes, jnp.zeros(()), False, B3SPLINE,
+                               6, (1.0,) * 7, True,
                                (5., 2., 0., 0., 0., 0., 1.), False,
                                True, False, 3.2, None, None, 0.0)
-    got_r, got_p = W._wow_body_fused(*args,
+    pieces, layout = decompose_pieces(x, 6, B3SPLINE)
+    got_r, got_p = W._wow_body_fused(pieces, layout, jnp.zeros(()),
+                                     False, B3SPLINE, 6, (1.0,) * 7,
                                      (5., 2., 0., 0., 0., 0., 1.), True)
     err = max(float(jnp.abs(got_r - ref_r).max()),
               float(jnp.abs(got_p - ref_p).max()))

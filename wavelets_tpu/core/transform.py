@@ -37,6 +37,8 @@ from ..ops.filters import ScalingFunction
 
 __all__ = [
     "decompose",
+    "decompose_pieces",
+    "assemble_pieces",
     "synthesize",
     "decompose_fn",
     "normalize_bilateral",
@@ -191,6 +193,64 @@ def decompose(
         c = c_next
     planes.append(c)
     return jnp.stack(planes)
+
+
+def decompose_pieces(
+    x: jax.Array,
+    level: int,
+    sf: ScalingFunction,
+    *,
+    axes: Optional[Tuple[int, ...]] = None,
+    bilateral: Optional[Tuple[float, ...]] = None,
+    bilateral_scaling: bool = False,
+    boundary: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Decomposition as ``(pieces, layout)`` — the fused kernels' native
+    form, with no plane-cube concatenation.
+
+    ``pieces`` is a tuple of cubes; ``layout[s] = (piece, row)`` locates
+    the detail plane of scale ``s`` (and ``layout[level]`` the
+    residual).  Consumers that whiten/denoise per scale (models/wow.py)
+    read straight from the group cubes; :func:`decompose` is the
+    one-cube convenience form."""
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    if boundary is None:
+        boundary = boundary_for_ndim(len(axes))
+
+    from ..ops import pallas_conv
+
+    if use_pallas is None:
+        use_pallas = pallas_conv.can_fuse(
+            x, level, sf, bilateral, axes, boundary)
+    if use_pallas:
+        def xla_tail(residual, n, offset):
+            return decompose(
+                residual, n, sf, axes=axes, boundary=boundary,
+                scale_offset=offset, use_pallas=False)
+
+        pieces, layout = pallas_conv.fused_decompose_pieces(
+            x, level, sf, xla_tail=xla_tail,
+            interpret=jax.default_backend() == "cpu")
+        return tuple(pieces), tuple(
+            layout[s] for s in range(level + 1))
+
+    planes = decompose(
+        x, level, sf, axes=axes, bilateral=bilateral,
+        bilateral_scaling=bilateral_scaling, boundary=boundary,
+        use_pallas=False)
+    return (planes,), tuple((0, s) for s in range(level + 1))
+
+
+def assemble_pieces(pieces, layout) -> jax.Array:
+    """Plane cube from ``(pieces, layout)``; free when the decomposition
+    produced a single cube in scale order."""
+    if len(pieces) == 1 and layout == tuple(
+            (0, s) for s in range(len(layout))):
+        return pieces[0]
+    return jnp.stack([pieces[k][r] for (k, r) in layout], axis=0)
 
 
 def synthesize(planes: jax.Array) -> jax.Array:

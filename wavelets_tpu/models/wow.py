@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..api import B3spline, Coefficients, _as_device_array, _spec_of
-from ..core.transform import decompose, normalize_bilateral, synthesize
+from ..core.transform import (
+    assemble_pieces,
+    decompose_pieces,
+    normalize_bilateral,
+    synthesize,
+)
 from ..ops.conv import smooth
 from ..ops.filters import ScalingFunction
 from ..ops.stats import mad_noise, significance
@@ -72,19 +77,22 @@ class VmapSafeReduceOps(LocalReduceOps):
 _LOCAL_OPS = LocalReduceOps()
 
 
-def _can_fuse_whiten(planes, n_scales, whitening, preserve_variance,
+def _can_fuse_whiten(pieces, n_scales, whitening, preserve_variance,
                      gamma_active, bilateral):
-    """Fused Pallas whitening applies to the standard single-image WOW:
-    2-D f32, whitening on, no gamma blend, no variance preservation, no
-    bilateral, tileable shape, on TPU."""
+    """Fused Pallas whitening applies to the standard (optionally
+    batched) WOW: 2-D f32, whitening on, no gamma blend, no variance
+    preservation, no bilateral, tileable shape, on TPU.  ``pieces`` is
+    the decompose output (tuple of plane cubes, see
+    core.transform.decompose_pieces)."""
     if jax.default_backend() == "cpu":
         return False
     if not whitening or preserve_variance or gamma_active or bilateral:
         return False
+    p0 = pieces[0]
     # f32 only — in bf16 the XLA path is faster (see pallas_conv.can_fuse)
-    if planes.ndim != 3 or planes.dtype != jnp.float32:
+    if p0.ndim not in (3, 4) or p0.dtype != jnp.float32:
         return False
-    H, W = planes.shape[1:]
+    H, W = p0.shape[-2:]
     return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
 
 
@@ -129,21 +137,31 @@ def _wow_mega(
 
 
 def _wow_body_fused(
-    planes, noise, has_noise, sf, n_scales, weights,
+    pieces, layout, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold,
 ):
-    """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py) for
-    the scales whose power-smooth halo fits VMEM; deeper detail scales
-    and the residual run the standard XLA ops.  Numerically equivalent
-    to :func:`_wow_body` for the supported configuration."""
-    from ..ops.pallas_wow import fused_whiten, whiten_max_scale
+    """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
+    reading detail planes straight from the decompose group cubes
+    (``pieces``/``layout``, see core.transform.decompose_pieces) — no
+    plane-cube concatenation on the reconstruction path.  Scales whose
+    power-smooth halo exceeds the VMEM window, and the residual, run the
+    standard XLA ops.  Numerically equivalent to :func:`_wow_body` for
+    the supported configuration (erf approximation aside)."""
+    from ..ops.pallas_wow import fused_whiten_pieces, whiten_max_scale
+
+    batched = pieces[0].ndim == 4
+    pieces_b = tuple(p if batched else p[:, None] for p in pieces)
+
+    def plane(s):
+        k, r = layout[s]
+        return pieces[k][r]
 
     sigma_e = sf.sigma_e(2, False)
     if not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales]
     ):
-        noise = mad_noise(planes[0], float(sigma_e[0]))
-    noise = jnp.asarray(noise, planes.dtype)
+        noise = mad_noise(plane(0), float(sigma_e[0]))
+    noise = jnp.asarray(noise, pieces[0].dtype)
 
     n_fast = min(n_scales, whiten_max_scale(sf) + 1)
     noise32 = noise.astype(jnp.float32)
@@ -154,32 +172,36 @@ def _wow_body_fused(
     ])
     factors = jnp.asarray([weights[s] for s in range(n_fast)],
                           jnp.float32)
-    # the kernel allocates the full (n_scales+1) cube and fills planes
-    # 0..n_fast−1; deep scales and the residual are inserted in place
-    # (XLA updates the freshly-produced buffer without re-copying it)
-    out, partial = fused_whiten(
-        planes, factors, thresholds, sf, n_fast, soft=soft_threshold,
-        n_total=n_scales, interpret=jax.default_backend() == "cpu")
+    whitened, partial = fused_whiten_pieces(
+        pieces_b, factors, thresholds, sf, n_fast,
+        tuple(layout[:n_fast]), soft=soft_threshold,
+        interpret=jax.default_backend() == "cpu")
+    recon = partial if batched else partial[0]
 
-    recon = partial
+    out_rows = [whitened[s] if batched else whitened[s, 0]
+                for s in range(n_fast)]
     # deep detail scales: XLA path (halo exceeds the VMEM window)
     for s in range(n_fast, n_scales):
-        c = planes[s]
-        lp = smooth(c * c, sf, scale=s)
+        c = plane(s)
+        lp = smooth(c * c, sf, scale=s,
+                    axes=tuple(range(c.ndim))[-2:])
         lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp))
         if denoise_coefficients[s] != 0:
             c = c * significance(c, denoise_coefficients[s], noise,
                                  float(sigma_e[s]), soft_threshold)
         c = c * (weights[s] / lp)
-        out = out.at[s].set(c)
+        out_rows.append(c)
         recon = recon + c
     # residual: global-std normalization (watroo/utils.py:185-191)
-    c = planes[n_scales]
+    c = plane(n_scales)
     lp = jnp.std(c)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
     c = c * (weights[n_scales] / lp)
-    out = out.at[n_scales].set(c)
+    out_rows.append(c)
     recon = recon + c
+    # the (n_scales+1) cube only materializes if the caller consumes it
+    # (XLA dead-code-eliminates the stack on recon-only serving paths)
+    out = jnp.stack(out_rows)
     return recon, out
 
 
@@ -316,18 +338,19 @@ def wow_core(
     # window amplification makes it VPU-bound and ~60% slower than the
     # decompose+whiten kernel pair on v5e.  Kept for platforms with
     # larger VMEM (bigger tiles flip the trade).
-    planes = decompose(
+    pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
         bilateral_scaling=bilateral_scaling,
         use_pallas=None if fuse else False,
     )
-    if fuse and _can_fuse_whiten(planes, n_scales, whitening,
+    if fuse and _can_fuse_whiten(pieces, n_scales, whitening,
                                  preserve_variance, h > 0,
                                  bilateral is not None):
         return _wow_body_fused(
-            planes, noise, has_noise, sf, n_scales, weights,
+            pieces, layout, noise, has_noise, sf, n_scales, weights,
             denoise_coefficients, soft_threshold,
         )
+    planes = assemble_pieces(pieces, layout)
     return _wow_body(
         planes, noise, has_noise, sf, n_scales, weights, whitening,
         denoise_coefficients, bilateral is not None, soft_threshold,

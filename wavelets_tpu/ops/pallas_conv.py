@@ -24,10 +24,18 @@ Correctness contract (vs watroo/wavelets.py:408-444 standard algorithm):
   the central tile is untouched — the same validity argument as
   overlap-save convolution.
 
-Dispatch policy (see :func:`fused_decompose`): 2-D float32,
-non-bilateral, symmetric boundary, tile-divisible shapes; anything else
-falls back to the XLA path.  Levels beyond the fused group (VMEM-bound,
-default ≤ 6) chain through the XLA path on the residual.
+Pipelining: the output plane cube rides a BlockSpec-driven revolving
+window (Mosaic overlaps the copies with the next step's compute at no
+per-step scalar cost); only the overlapping *input* windows use manual
+DMA (depth-1 prefetch into two slots).  A leading batch grid dimension
+serves frame stacks (wow_stack) with the same kernel.
+
+Dispatch policy (see :func:`fused_decompose`): 2-D (or batched 2-D)
+float32/bfloat16, non-bilateral, symmetric boundary, tile-divisible
+shapes; anything else falls back to the XLA path.  Group partitioning is
+cost-model-driven (``plan_groups``): measured HBM bandwidth, per-step
+overhead, and VPU throughput decide how many scales fuse per kernel and
+which scales chain through the XLA path on the residual.
 """
 
 from __future__ import annotations
@@ -49,8 +57,10 @@ __all__ = ["fused_decompose", "can_fuse", "plan_groups", "MAX_FUSED_LEVELS"]
 #: largest scale group kept fully VMEM-resident (R = hw·(2^L−1) halo)
 MAX_FUSED_LEVELS = 6
 
-#: input DMA slots (depth-2 prefetch hides the per-tile DMA wait)
-N_SLOTS = 3
+#: input DMA slots (depth-1 prefetch; the current slot doubles as the
+#: scale-0 working buffer, so in-flight transfers only ever target the
+#: other slot)
+N_SLOTS = 2
 
 
 def _flip_mats(R: int, dtype):
@@ -91,7 +101,11 @@ def _conv_pass_ref(src_ref, dst_ref, taps, d: int, axis: int):
     """One 1-D dilated conv pass between full-size VMEM refs via static
     slices; only the interior [hw·d, n−hw·d) of ``dst`` along ``axis`` is
     written (the edges go stale — "garbage creep" — and are accounted for
-    by the halo budget, as in overlap-save convolution)."""
+    by the halo budget, as in overlap-save convolution).
+
+    (A ``pltpu.roll``-based formulation with fully aligned stores was
+    measured *slower* on v5e — lane/sublane rotations cost more than
+    Mosaic's handling of the unaligned shifted reads.)"""
     hw = (len(taps) - 1) // 2
     n = src_ref.shape[axis]
     m = hw * d
@@ -128,57 +142,40 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                  R: int, offset: int = 0):
     Rr, Rc = _aligned_halos(R)
 
-    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, stage, sems,
-               osems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        ni = pl.num_programs(0)
-        nj = pl.num_programs(1)
-        step = i * nj + j
+    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        ni = pl.num_programs(1)
+        nj = pl.num_programs(2)
+        nsteps = pl.num_programs(0) * ni * nj
+        step = (b * ni + i) * nj + j
         slot = step % N_SLOTS
 
-        def in_dma(st, ii, jj):
+        def in_dma(st, which):
+            bb = which // (ni * nj)
+            rem = which % (ni * nj)
+            ii = rem // nj
+            jj = rem % nj
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(ii * TH, TH + 2 * Rr),
+                x_hbm.at[bb,
+                         pl.ds(ii * TH, TH + 2 * Rr),
                          pl.ds(jj * TW, TW + 2 * Rc)],
                 bufs.at[st], sems.at[st])
 
-        # warm-up: first grid step issues its own DMA and the next's
+        # warm-up: first grid step issues its own DMA
         @pl.when(step == 0)
         def _():
-            in_dma(slot, i, j).start()
+            in_dma(slot, step).start()
 
-            @pl.when(ni * nj > 1)
-            def _():
-                in_dma(1 % N_SLOTS, 1 // nj, 1 % nj).start()
-
-        # depth-2 prefetch: issue the DMA two tiles ahead
-        nstep = step + 2
-        @pl.when(nstep < ni * nj)
+        # depth-1 prefetch into the other slot; the current slot is a
+        # working buffer for this step, so only the inactive slot ever
+        # has a transfer in flight
+        @pl.when(step + 1 < nsteps)
         def _():
-            in_dma(nstep % N_SLOTS, nstep // nj, nstep % nj).start()
+            in_dma((step + 1) % N_SLOTS, step + 1).start()
 
-        in_dma(slot, i, j).wait()
-
-        def out_dma(st, plane, ii=None, jj=None):
-            ii = i if ii is None else ii
-            jj = j if jj is None else jj
-            return pltpu.make_async_copy(
-                stage.at[st],
-                out_ref.at[plane, pl.ds(ii * TH, TH),
-                           pl.ds(jj * TW, TW)],
-                osems.at[st])
-
-        # the previous step's last two plane copies are still in flight
-        # (deferred drain): complete them before reusing the stage slots
-        @pl.when(step > 0)
-        def _():
-            pstep = step - 1
-            pi = pstep // nj
-            pj = pstep % nj
-            if level >= 1:
-                out_dma((level - 1) % 2, level - 1, pi, pj).wait()
-            out_dma(level % 2, level, pi, pj).wait()
+        in_dma(slot, step).wait()
 
         Jr = _flip_mats(Rr, bufs.dtype)
         Jc = _flip_mats(Rc, bufs.dtype)
@@ -215,53 +212,53 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             d = 2 ** (s + offset)
             _conv_pass_ref(cur, tmp, taps, d, 0)
             _conv_pass_ref(tmp, sm, taps, d, 1)
-            # stage the detail plane and stream it out asynchronously
-            # (double-buffered: wait for the copy issued two scales ago)
-            ost = s % 2
-            if s >= 2:
-                out_dma(ost, s - 2).wait()
-            stage[ost] = (cur[Rr:Rr + TH, Rc:Rc + TW]
-                          - sm[Rr:Rr + TH, Rc:Rc + TW])
-            out_dma(ost, s).start()
+            # detail plane straight into the revolving output window
+            # (Mosaic overlaps the copy-out with the next step)
+            out_ref[s, 0] = (cur[Rr:Rr + TH, Rc:Rc + TW]
+                             - sm[Rr:Rr + TH, Rc:Rc + TW])
             refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
             cur = refs[0]
-        ost = level % 2
-        if level >= 2:
-            out_dma(ost, level - 2).wait()
-        stage[ost] = cur[Rr:Rr + TH, Rc:Rc + TW]
-        out_dma(ost, level).start()
-
-        # only the final grid step must drain before the kernel exits;
-        # every other step's trailing copies are waited by its successor
-        @pl.when(step == ni * nj - 1)
-        def _():
-            if level >= 1:
-                out_dma((level - 1) % 2, level - 1).wait()
-            out_dma(level % 2, level).wait()
+        out_ref[level, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
 
     return kernel
 
 
-def _pick_tile(n: int, preferred=(512, 256, 128)) -> Optional[int]:
-    for t in preferred:
-        if n % t == 0 and n >= t:
-            return t
-    return None
+#: measured platform constants (perf_probe.py on the axon v5e): plain
+#: XLA streams at ~700-860 GB/s; a manual-DMA grid step costs ~5-10 µs
+#: of scalar sequencing; the VPU sustains ~3.5 Top/s on f32 stencils.
+_BW = 700e9
+_STEP_OVH = 6e-6
+_VPU = 3.5e12
+#: XLA shift-add fallback cost per scale, expressed in image-moves at
+#: _BW (measured ~2.07 ms/scale at 4k² f32 → ≈ 21 effective moves: the
+#: pads materialize and the pass fusions stream well below the copy
+#: ceiling)
+_XLA_SCALE_BYTES = 20.0
 
 
-def _vmem_bytes(TH: int, TW: int, level: int, R: int) -> int:
-    """Rough VMEM footprint: 2 DMA slots + tmp + sm + ~1 Mosaic temp of
-    buffer size, plus the 2 output staging tiles."""
+def _vmem_bytes(TH: int, TW: int, level: int, R: int,
+                itemsize: int = 4) -> int:
+    """VMEM footprint: input slots + tmp + sm + ~1 Mosaic temp of buffer
+    size, plus the double-buffered revolving output window."""
     Rr, Rc = _aligned_halos(R)
-    buf = (TH + 2 * Rr) * (TW + 2 * Rc) * 4
-    stage = 2 * TH * TW * 4
-    return (N_SLOTS + 3) * buf + stage
+    buf = (TH + 2 * Rr) * (TW + 2 * Rc) * itemsize
+    out_win = 2 * (level + 1) * TH * TW * itemsize
+    return (N_SLOTS + 3) * buf + out_win
 
 
-def _plan_tiles(H: int, W: int, level: int, R: int,
+def _group_cost(H, W, g, R, TH, TW, itemsize):
+    """Cost model (seconds) for one fused group over the full image."""
+    Rr, Rc = _aligned_halos(R)
+    steps = (H // TH) * (W // TW)
+    amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
+    bytes_ = H * W * itemsize * (amp + g + 1)
+    vpu = H * W * amp * g * 2 * 6  # 2 passes × ~6 VPU ops per tap fold
+    return max(bytes_ / _BW, vpu / _VPU) + steps * _STEP_OVH
+
+
+def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                 budget: int = 13 << 20) -> Optional[Tuple[int, int]]:
-    """Largest tile pair (by area, then squareness) meeting the VMEM
-    budget and dividing the image."""
+    """Cheapest feasible tile pair under the cost model."""
     cands = []
     for TH in (512, 256, 128):
         if H % TH:
@@ -271,23 +268,27 @@ def _plan_tiles(H: int, W: int, level: int, R: int,
                 continue
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
-            if _vmem_bytes(TH, TW, level, R) <= budget:
-                cands.append((TH * TW, -abs(TH - TW), TH, TW))
+            if _vmem_bytes(TH, TW, level, R, itemsize) <= budget:
+                cands.append(
+                    (_group_cost(H, W, level, R, TH, TW, itemsize),
+                     TH, TW))
     if not cands:
         return None
-    _, _, TH, TW = max(cands)
+    _, TH, TW = min(cands)
     return TH, TW
 
 
 def can_fuse(x, level: int, sf: ScalingFunction, bilateral, axes,
              boundary: str, backend: Optional[str] = None) -> bool:
-    """Whether the fused Pallas path applies (TPU, 2-D f32, standard
-    algorithm, tile-divisible)."""
+    """Whether the fused Pallas path applies (TPU, 2-D or batched 2-D
+    f32, standard algorithm, tile-divisible)."""
     if bilateral is not None or level < 1:
         return False
     if boundary != "symmetric":
         return False
-    if x.ndim != 2 or (axes is not None and tuple(axes) != (0, 1)):
+    spatial = tuple(range(x.ndim - 2, x.ndim))
+    if x.ndim not in (2, 3) or (axes is not None
+                                and tuple(axes) != spatial):
         return False
     # f32 only: the kernels are dtype-generic (bf16 verified), but in
     # bf16 the plain XLA path is faster — halved HBM traffic benefits
@@ -300,7 +301,7 @@ def can_fuse(x, level: int, sf: ScalingFunction, bilateral, axes,
     if backend in ("cpu",):
         return False  # XLA path is the CPU reference; interpret mode is
         # exercised explicitly in tests
-    groups, _ = plan_groups(x.shape[0], x.shape[1], level,
+    groups, _ = plan_groups(x.shape[-2], x.shape[-1], level,
                             sf.half_width)
     return bool(groups)
 
@@ -316,72 +317,114 @@ def _group_halo(hw: int, offset: int, g: int) -> int:
 def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
                  offset: int = 0, interpret: bool = False) -> jax.Array:
     """Fused decomposition of ``level`` scales at dilation base
-    ``2^offset``.  Returns ``(level+1, H, W)``: detail planes for scales
+    ``2^offset``.  ``x`` is ``(H, W)`` or a frame stack ``(B, H, W)``;
+    returns ``(level+1, *x.shape)``: detail planes for scales
     offset..offset+level−1 plus the residual."""
-    H, W = x.shape
+    batched = x.ndim == 3
+    xb = x if batched else x[None]
+    B, H, W = xb.shape
     R = _group_halo(sf.half_width, offset, level)
-    TH, TW = _plan_tiles(H, W, level, R)
+    TH, TW = _plan_tiles(H, W, level, R, x.dtype.itemsize)
     Rr, Rc = _aligned_halos(R)
-    xp = jnp.pad(x, ((Rr, Rr), (Rc, Rc)), mode="symmetric")
+    xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
     kernel = _make_kernel(level, sf.taps, TH, TW, R, offset)
-    grid = (H // TH, W // TW)
+    grid = (B, H // TH, W // TW)
     dt = x.dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((level + 1, H, W), dt),
+        out_shape=jax.ShapeDtypeStruct((level + 1, B, H, W), dt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(
+            (level + 1, 1, TH, TW),
+            lambda b, i, j: (0, b, i, j),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
             pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-            pltpu.VMEM((2, TH, TW), dt),
             pltpu.SemaphoreType.DMA((N_SLOTS,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp)
-    return out
+    return out if batched else out[:, 0]
 
 
-#: max halo-amplification (compute overhead) tolerated per fused group
-_AMP_LIMIT = 2.0
+def plan_groups(H: int, W: int, level: int, hw: int, itemsize: int = 4):
+    """Partition ``level`` scales into fused groups; returns a list of
+    ``(offset, g)`` pairs followed by the number of trailing scales left
+    to the XLA path.
 
-
-def _group_amp(H, W, g, R):
-    tiles = _plan_tiles(H, W, g, R)
-    if tiles is None:
-        return None
-    TH, TW = tiles
-    Rr, Rc = _aligned_halos(R)
-    return (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
-
-
-def plan_groups(H: int, W: int, level: int, hw: int):
-    """Split ``level`` scales into fused groups with bounded halo
-    amplification; returns a list of (offset, g) pairs followed by the
-    number of trailing scales left to the XLA path.
-
-    Rationale: the kernel is VPU-bound through the halo overlap factor
-    ((TH+2R)(TW+2R))/(TH·TW), so each group keeps R small; chaining
-    groups costs one extra HBM round trip of the residual, which is
-    cheap by comparison."""
+    Cost-model dynamic program: each candidate group is priced by the
+    measured platform constants (HBM bandwidth, per-grid-step overhead,
+    VPU rate) including the halo-amplification reads and the one-residual
+    round trip between chained groups; a group is only scheduled where it
+    beats the XLA shift-add fallback for those scales."""
+    INF = float("inf")
+    xla_scale = _XLA_SCALE_BYTES * H * W * itemsize / _BW
+    # best[s] = (cost of scales s.., action); action = g or None (tail)
+    best = [(0.0, None)] * (level + 1)
+    for s in range(level - 1, -1, -1):
+        cands = [((level - s) * xla_scale, None)]
+        for g in range(1, min(level - s, MAX_FUSED_LEVELS) + 1):
+            R = _group_halo(hw, s, g)
+            tiles = _plan_tiles(H, W, g, R, itemsize)
+            if tiles is None:
+                continue
+            c = _group_cost(H, W, g, R, *tiles, itemsize)
+            if s + g < level:
+                c += 2 * H * W * itemsize / _BW  # residual round trip
+            cands.append((c + best[s + g][0], g))
+        best[s] = min(cands, key=lambda t: t[0])
     groups = []
     s = 0
-    while s < level:
-        best = None
-        for g in range(min(level - s, MAX_FUSED_LEVELS), 0, -1):
-            R = _group_halo(hw, s, g)
-            amp = _group_amp(H, W, g, R)
-            if amp is not None and amp <= _AMP_LIMIT:
-                best = g
-                break
-        if best is None:
-            break
-        groups.append((s, best))
-        s += best
+    while s < level and best[s][1] is not None:
+        groups.append((s, best[s][1]))
+        s += best[s][1]
     return groups, level - s
+
+
+def fused_decompose_pieces(
+    x: jax.Array,
+    level: int,
+    sf: ScalingFunction,
+    *,
+    interpret: bool = False,
+    xla_tail=None,
+):
+    """Multi-scale decomposition as a list of *pieces* — no plane-cube
+    concatenation (a full-cube concat costs ~2 image round trips per
+    plane set; consumers that only need per-scale planes, like the
+    whiten kernel, read straight from the group cubes).
+
+    Returns ``(pieces, layout)``: ``pieces[k]`` is a cube whose rows are
+    detail planes; ``layout[s] = (k, row)`` locates scale ``s``;
+    ``layout[level]`` locates the final residual.  Scales whose dilation
+    is too wide for VMEM halos run through ``xla_tail(residual, n,
+    offset)`` — supplied by core.transform to avoid an import cycle.
+    ``x``: ``(H, W)`` or ``(B, H, W)``."""
+    H, W = x.shape[-2:]
+    groups, n_tail = plan_groups(H, W, level, sf.half_width,
+                                 x.dtype.itemsize)
+    pieces = []
+    layout = {}
+    cur = x
+    for offset, g in groups:
+        planes = _fused_group(cur, g, sf, offset=offset,
+                              interpret=interpret)
+        for s in range(g):
+            layout[offset + s] = (len(pieces), s)
+        pieces.append(planes)
+        cur = planes[g]
+    if n_tail:
+        assert xla_tail is not None
+        tail = xla_tail(cur, n_tail, level - n_tail)
+        for s in range(n_tail + 1):
+            layout[level - n_tail + s] = (len(pieces), s)
+        pieces.append(tail)
+    else:
+        layout[level] = (len(pieces) - 1, groups[-1][1])
+    return pieces, layout
 
 
 def fused_decompose(
@@ -392,23 +435,9 @@ def fused_decompose(
     interpret: bool = False,
     xla_tail=None,
 ) -> jax.Array:
-    """Multi-scale decomposition chaining fused scale groups; scales
-    whose dilation is too wide for VMEM halos run through
-    ``xla_tail(residual, n, offset)`` — supplied by core.transform to
-    avoid an import cycle."""
-    H, W = x.shape
-    groups, n_tail = plan_groups(H, W, level, sf.half_width)
-    pieces = []
-    cur = x
-    for offset, g in groups:
-        planes = _fused_group(cur, g, sf, offset=offset,
-                              interpret=interpret)
-        pieces.append(planes[:g])
-        cur = planes[g]
-    if n_tail:
-        assert xla_tail is not None
-        tail = xla_tail(cur, n_tail, level - n_tail)
-        pieces.append(tail)
-    else:
-        pieces.append(cur[None])
-    return jnp.concatenate(pieces, axis=0)
+    """Plane-cube form of :func:`fused_decompose_pieces` (one concat)."""
+    pieces, layout = fused_decompose_pieces(
+        x, level, sf, interpret=interpret, xla_tail=xla_tail)
+    rows = [pieces[k][r] for s in range(level + 1)
+            for (k, r) in [layout[s]]]
+    return jnp.stack(rows, axis=0)

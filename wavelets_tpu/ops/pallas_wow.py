@@ -4,18 +4,33 @@ After decomposition, WOW whitens each detail plane by its local power:
 ``c ← c · sig(c) · w / sqrt(max(smooth_s(c²), 1e-15))``
 (watroo/utils.py:174-203).  The XLA path spends one full dilated-smooth
 round trip per scale on ``smooth_s(c²)`` plus several elementwise
-passes.  This kernel processes each tile once: for every scale it DMAs
-the detail tile + a *per-scale* halo ``hw·2^s`` (aligned up; small
-scales read far less than the deepest one), squares, smooths (per-scale
-dilation, exact symmetric borders — the pre-pad reflection commutes
-with squaring and there is no cross-scale chaining), applies the
-significance mask and whitening factor, stages the whitened plane out
-asynchronously, and accumulates the partial reconstruction
-(Σ whitened details) in VMEM — one extra output pass instead of L.
+passes.  This kernel processes each tile once per scale: it DMAs the
+detail tile + a *per-scale* halo ``hw·2^s``, squares, smooths
+(per-scale dilation), applies the significance mask and whitening
+factor, writes the whitened plane through a BlockSpec revolving window,
+and accumulates the partial reconstruction — one extra output pass
+instead of L.
 
-The residual plane (global-std normalization), deep scales whose halo
-exceeds the VMEM window, gamma blending, and preserve_variance stay in
-XLA (wavelets_tpu/models/wow.py dispatches).
+v2 design (measured on the axon v5e — see DESIGN.md):
+
+* **No pre-padded plane cube.**  v1 ``jnp.pad``-ed the whole cube
+  (≈ 2 extra image moves per plane).  v2 reads *clamped* windows from
+  the unpadded planes (nine static DMA variants for interior/edge
+  tiles) and reconstructs the symmetric border in-kernel with the exact
+  anti-diagonal-matmul mirror from pallas_conv.  Borders are exact
+  because reflection commutes with squaring and the power smooth does
+  not chain across scales.
+* **Pieces input.**  The decompose kernels emit per-group plane cubes;
+  whiten reads scale ``s``'s window straight from its group cube
+  (``layout``), so no (level+1)-plane concatenation ever materializes
+  on the serving path.
+* **BlockSpec outputs** (whitened planes + partial recon) ride
+  Mosaic-managed revolving windows: per-step scalar cost is sub-µs
+  (measured), and the plane writes stream at the platform's write
+  bandwidth.  ``write_planes=False`` drops the plane outputs entirely
+  for recon-only serving (writes are the platform bottleneck:
+  ~400-480 GB/s vs ~940 GB/s reads).
+* Leading **batch** grid dimension for frame stacks.
 
 Significance: ``erf(|w|/t)`` with per-scale scalar threshold ``t``
 from SMEM; ``t == 0`` disables masking (parity with
@@ -34,15 +49,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .filters import ScalingFunction
-from .pallas_conv import _conv_pass_ref
+from .pallas_conv import (
+    _conv_pass_ref,
+    _exact_dot,
+    _exact_dot_left,
+    _flip_mats,
+)
 
-__all__ = ["fused_whiten", "whiten_max_scale"]
+__all__ = ["fused_whiten_pieces", "whiten_max_scale"]
 
-#: fixed outer pad of the plane stack; per-scale windows shrink inside it
-R_MAX = 128
+#: column halo (lane-dim window offsets must stay 128-aligned)
+R_COL = 128
 
 #: input DMA slots (prefetch depth for the per-scale plane windows)
-NSLOT = 4
+NSLOT = 3
 
 
 def _erf_pos(x):
@@ -55,7 +75,7 @@ def _erf_pos(x):
     return 1.0 - poly * jnp.exp(-x * x)
 
 
-def whiten_max_scale(sf: ScalingFunction, max_halo: int = R_MAX) -> int:
+def whiten_max_scale(sf: ScalingFunction, max_halo: int = R_COL) -> int:
     """Largest scale whose power-smooth halo hw·2^s fits the window."""
     s = 0
     while sf.half_width * (2 ** (s + 1)) <= max_halo:
@@ -63,190 +83,240 @@ def whiten_max_scale(sf: ScalingFunction, max_halo: int = R_MAX) -> int:
     return s  # scales 0..s usable iff hw·2^s <= max_halo
 
 
-def _scale_halos(sf: ScalingFunction, n_scales: int):
-    """Aligned per-scale halo: rows shrink with the scale (multiples of
-    8); columns stay at R_MAX — lane-dimension DMA offsets must be
-    128-aligned, so the window cannot move horizontally inside the
-    pad."""
-    halos = []
-    for s in range(n_scales):
-        r = sf.half_width * (2 ** s)
-        # rows multiple of 16: covers f32 (8,128) and bf16 (16,128) tiling
-        halos.append((max(-(-r // 16) * 16, 16), R_MAX))
-    return halos
+def _row_halo(sf: ScalingFunction, s: int) -> int:
+    """Aligned per-scale row halo (multiple of 16: covers the f32 (8,128)
+    and bf16 (16,128) tilings)."""
+    r = sf.half_width * (2 ** s)
+    return max(-(-r // 16) * 16, 16)
 
 
-def _make_whiten_kernel(n_scales: int, taps: Tuple[float, ...],
-                        TH: int, TW: int, halos, soft: bool):
-    def kernel(fac_ref, thr_ref, planes_hbm, out_ref, recon_ref,
-               bufs, tmp_ref, sm_ref, stage, acc, sems, osems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        ni = pl.num_programs(0)
-        nj = pl.num_programs(1)
-        step_id = i * nj + j
+def _axis_cases(n_tiles: int, T: int, R: int, total: int):
+    """Static DMA variants along one axis for a clamped halo window.
 
-        def in_dma(st, s):
-            Rr, Rc = halos[s]
-            roff = pl.multiple_of(i * TH + (R_MAX - Rr), 8)
-            coff = pl.multiple_of(j * TW + (R_MAX - Rc), 128)
-            return pltpu.make_async_copy(
-                planes_hbm.at[s,
-                              pl.ds(roff, TH + 2 * Rr),
-                              pl.ds(coff, TW + 2 * Rc)],
-                bufs.at[st, 0:TH + 2 * Rr, 0:TW + 2 * Rc],
-                sems.at[st])
+    Each case: (predicate(idx), src_start(idx), dst_offset, size,
+    mirror_low, mirror_high).  The symmetric border is reconstructed
+    in-kernel by mirroring (np.pad-symmetric semantics) when the window
+    is clamped at the image edge."""
+    cases = []
+    if n_tiles == 1:
+        cases.append((lambda i: i == 0, lambda i: 0, R, T, True, True))
+        return cases
+    cases.append((lambda i: i == 0, lambda i: 0, R, T + R, True, False))
+    cases.append(
+        (lambda i: i == n_tiles - 1,
+         lambda i: total - T - R, 0, T + R, False, True))
+    if n_tiles > 2:
+        cases.append(
+            (lambda i: jnp.logical_and(i > 0, i < n_tiles - 1),
+             lambda i: i * T - R, 0, T + 2 * R, False, False))
+    return cases
 
-        def out_dma(st, s, ii=None, jj=None):
-            ii = i if ii is None else ii
-            jj = j if jj is None else jj
-            return pltpu.make_async_copy(
-                stage.at[st],
-                out_ref.at[s, pl.ds(ii * TH, TH), pl.ds(jj * TW, TW)],
-                osems.at[st])
 
-        # per-scale input windows are independent: keep up to NSLOT DMAs
-        # in flight so later scales' transfers overlap earlier compute
-        for s in range(min(n_scales, NSLOT)):
-            in_dma(s, s).start()
+def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
+                        TH: int, TW: int, ni: int, nj: int,
+                        halos, layout, soft: bool, write_planes: bool,
+                        n_pieces: int):
+    hw = (len(taps) - 1) // 2
 
-        # the previous tile's last two plane copies are still in flight
-        # (deferred drain): complete them before reusing the stage slots
-        @pl.when(step_id > 0)
-        def _():
-            pstep = step_id - 1
-            pi = pstep // nj
-            pj = pstep % nj
-            if n_scales >= 2:
-                out_dma((n_scales - 2) % 2, n_scales - 2, pi, pj).wait()
-            out_dma((n_scales - 1) % 2, n_scales - 1, pi, pj).wait()
+    def kernel(*refs):
+        fac_ref, thr_ref = refs[0], refs[1]
+        pieces = refs[2:2 + n_pieces]
+        out_idx = 2 + n_pieces
+        recon_ref = refs[out_idx]
+        planes_ref = refs[out_idx + 1] if write_planes else None
+        scratch0 = out_idx + (2 if write_planes else 1)
+        bufs, t1, sems = refs[scratch0:scratch0 + 3]
 
-        acc[:] = jnp.zeros((TH, TW), acc.dtype)
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
 
-        for s in range(n_scales):
-            Rr, Rc = halos[s]
+        def win_cases(s):
+            Rr = halos[s]
+            rcases = _axis_cases(ni, TH, Rr, ni * TH)
+            ccases = _axis_cases(nj, TW, R_COL, nj * TW)
+            return Rr, rcases, ccases
+
+        def win_dma_do(slot, s, action):
+            """Emit the start/wait for scale s's window under the static
+            case grid (one case executes per tile).  Dynamic starts like
+            ``j·TW − R`` are tiling-aligned by construction but Mosaic's
+            divisibility analysis cannot prove it through the
+            subtraction — assert it with ``pl.multiple_of``."""
+            k, row = layout[s]
+            Rr, rcases, ccases = win_cases(s)
+            src = pieces[k]
+            for (rp, rs, rdo, rsz, _, _) in rcases:
+                for (cp, cs, cdo, csz, _, _) in ccases:
+                    @pl.when(jnp.logical_and(rp(i), cp(j)))
+                    def _(rs=rs, cs=cs, rdo=rdo, cdo=cdo, rsz=rsz,
+                          csz=csz):
+                        r0, c0 = rs(i), cs(j)
+                        if not isinstance(r0, int):
+                            r0 = pl.multiple_of(r0, 8)
+                        if not isinstance(c0, int):
+                            c0 = pl.multiple_of(c0, 128)
+                        dma = pltpu.make_async_copy(
+                            src.at[row, b,
+                                   pl.ds(r0, rsz),
+                                   pl.ds(c0, csz)],
+                            bufs.at[slot,
+                                    pl.ds(rdo, rsz),
+                                    pl.ds(cdo, csz)],
+                            sems.at[slot])
+                        getattr(dma, action)()
+
+        def mirror(slot, s):
+            """Fill the clamped window's missing border by symmetric
+            reflection (exact flip via MXU matmul)."""
+            Rr, rcases, ccases = win_cases(s)
+            nr = TH + 2 * Rr
+            Jr = _flip_mats(Rr, bufs.dtype)
+            Jc = _flip_mats(R_COL, bufs.dtype)
+            buf = bufs.at[slot, 0:nr, :]
+            # rows first over the full width, then columns over the full
+            # row extent — np.pad applies axes sequentially, so the
+            # corner is the mirror of the mirror (garbage cols copied by
+            # the row mirror are overwritten by the col mirror)
+            for (rp, _, rdo, rsz, mlo, mhi) in rcases:
+                if mlo:
+                    @pl.when(rp(i))
+                    def _():
+                        buf[0:Rr, :] = _exact_dot_left(
+                            Jr, buf[Rr:2 * Rr, :])
+                if mhi:
+                    @pl.when(rp(i))
+                    def _():
+                        buf[TH + Rr:TH + 2 * Rr, :] = _exact_dot_left(
+                            Jr, buf[TH:TH + Rr, :])
+            for (cp, _, cdo, _, mlo, mhi) in ccases:
+                if mlo:
+                    @pl.when(cp(j))
+                    def _():
+                        buf[:, 0:R_COL] = _exact_dot(
+                            buf[:, R_COL:2 * R_COL], Jc)
+                if mhi:
+                    @pl.when(cp(j))
+                    def _():
+                        buf[:, TW + R_COL:TW + 2 * R_COL] = _exact_dot(
+                            buf[:, TW:TW + R_COL], Jc)
+
+        for s in range(min(n_fast, NSLOT)):
+            win_dma_do(s, s, "start")
+
+        acc = jnp.zeros((TH, TW), jnp.float32)
+        for s in range(n_fast):
             slot = s % NSLOT
-            in_dma(slot, s).wait()
-            w = bufs[slot, 0:TH + 2 * Rr, 0:TW + 2 * Rc]
+            win_dma_do(slot, s, "wait")
+            mirror(slot, s)
+            Rr = halos[s]
+            nr = TH + 2 * Rr
+            # keep the interior detail values as a register/temp value —
+            # the slot buffer is recycled as conv scratch below
+            wc = bufs[slot, Rr:Rr + TH,
+                      R_COL:R_COL + TW].astype(jnp.float32)
 
-            # power plane; image-border halo values come from the
-            # symmetric pre-pad of the detail plane, and reflection
-            # commutes with squaring, so borders are exact without
-            # in-kernel mirroring (single smooth — no chaining)
-            tmp_ref[0:TH + 2 * Rr, 0:TW + 2 * Rc] = w * w
-
+            # power plane; borders exact because reflection commutes
+            # with squaring and there is no cross-scale chaining
+            t1[0:nr, :] = bufs[slot, 0:nr, :] * bufs[slot, 0:nr, :]
             d = 2 ** s
-            _conv_pass_ref(tmp_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
-                           sm_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+            _conv_pass_ref(t1.at[0:nr, :], bufs.at[slot, 0:nr, :],
                            taps, d, 0)
-            _conv_pass_ref(sm_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
-                           tmp_ref.at[0:TH + 2 * Rr, 0:TW + 2 * Rc],
+            _conv_pass_ref(bufs.at[slot, 0:nr, :], t1.at[0:nr, :],
                            taps, d, 1)
-            lp = tmp_ref[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
+            lp = t1[Rr:Rr + TH, R_COL:R_COL + TW].astype(jnp.float32)
             lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
-
-            wc = w[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
-            thr = thr_ref[s]
+            thr = thr_ref[s, b]
             safe_t = jnp.where(thr == 0, jnp.float32(1.0), thr)
             if soft:
                 mask = _erf_pos(jnp.abs(wc) / safe_t)
             else:
                 mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
             mask = jnp.where(thr == 0, jnp.float32(1.0), mask)
-            wden = wc * mask
+            white = wc * mask * (fac_ref[s] / lp)
+            acc = acc + white
+            if write_planes:
+                planes_ref[s, 0] = white.astype(planes_ref.dtype)
+            if s + NSLOT < n_fast:
+                win_dma_do(slot, s + NSLOT, "start")
 
-            ost = s % 2
-            if s >= 2:
-                out_dma(ost, s - 2).wait()
-            white = (wden * (fac_ref[s] / lp)).astype(stage.dtype)
-            stage[ost] = white
-            acc[:] = acc[:] + white
-            out_dma(ost, s).start()
-            # slot s%NSLOT is free once this scale's reads are done;
-            # refill it with the window NSLOT scales ahead
-            if s + NSLOT < n_scales:
-                in_dma(slot, s + NSLOT).start()
-
-        recon_ref[:] = acc[:]
-
-        # the final tile must drain its own trailing copies before exit
-        @pl.when(step_id == ni * nj - 1)
-        def _():
-            if n_scales >= 2:
-                out_dma((n_scales - 2) % 2, n_scales - 2).wait()
-            out_dma((n_scales - 1) % 2, n_scales - 1).wait()
+        recon_ref[0] = acc.astype(recon_ref.dtype)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf", "n_scales", "soft", "n_total", "interpret"))
-def fused_whiten(
-    planes: jax.Array,
+    static_argnames=("sf", "n_fast", "layout", "soft", "write_planes",
+                     "interpret"))
+def fused_whiten_pieces(
+    pieces,
     factors: jax.Array,
     thresholds: jax.Array,
     sf: ScalingFunction,
-    n_scales: int,
+    n_fast: int,
+    layout: Tuple[Tuple[int, int], ...],
     soft: bool = True,
-    n_total: int = None,
+    write_planes: bool = True,
     interpret: bool = False,
 ):
-    """Whiten detail planes 0..n_scales−1 of ``planes``.
+    """Whiten detail scales 0..n_fast−1 read from decompose *pieces*.
 
+    ``pieces``: tuple of plane cubes, each ``(rows, B, H, W)`` (batch
+    may be 1); ``layout[s] = (piece, row)`` locates scale ``s``.
     ``factors[s]``: scalar multiplier (w_s · power_norm_s);
-    ``thresholds[s]``: significance threshold (0 → none).
-    Returns ``(whitened_planes, partial_recon (H, W))`` where the plane
-    cube has ``n_total+1`` planes (default ``n_scales``): the kernel
-    fills 0..n_scales−1 and leaves the rest for the caller to insert in
-    place (deep scales + residual) — avoiding a full re-stack copy.
-    """
-    _, H, W = planes.shape
-    halos = _scale_halos(sf, n_scales)
-    assert all(r <= R_MAX and c <= R_MAX for r, c in halos), \
+    ``thresholds[s, b]``: per-frame significance threshold (0 → none).
+
+    Returns ``(whitened (n_fast, B, H, W) or None, partial_recon
+    (B, H, W))``."""
+    _, B, H, W = pieces[0].shape
+    halos = tuple(_row_halo(sf, s) for s in range(n_fast))
+    assert all(sf.half_width * 2 ** s <= R_COL for s in range(n_fast)), \
         "scale gated by whiten_max_scale"
-    # (512, 256) tiles: big enough to amortize per-step cost, small
-    # enough that the two max-halo windows + conv scratch fit VMEM
-    TH = 512 if H % 512 == 0 else 256
-    TW = 256
+    TH = 256
+    TW = 512 if (W % 512 == 0 and not write_planes) else 256
     if H % TH or W % TW:
         raise ValueError("shape not tileable")
-    body = planes[:n_scales]
-    padded = jnp.pad(body, ((0, 0), (R_MAX, R_MAX), (R_MAX, R_MAX)),
-                     mode="symmetric")
-    kernel = _make_whiten_kernel(n_scales, sf.taps, TH, TW, halos, soft)
-    grid = (H // TH, W // TW)
-    Rr_max = max(r for r, _ in halos)
-    Rc_max = max(c for _, c in halos)
-    n_out = n_scales if n_total is None else n_total + 1
-    dt = planes.dtype
-    out, recon = pl.pallas_call(
+    ni, nj = H // TH, W // TW
+    Rmax = max(halos)
+    dt = pieces[0].dtype
+
+    kernel = _make_whiten_kernel(
+        n_fast, sf.taps, TH, TW, ni, nj, halos, layout, soft,
+        write_planes, len(pieces))
+    grid = (B, ni, nj)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
+    out_specs = [pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
+                              memory_space=pltpu.VMEM)]
+    if write_planes:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_fast, B, H, W), dt))
+        out_specs.append(
+            pl.BlockSpec((n_fast, 1, TH, TW),
+                         lambda b, i, j: (0, b, i, j),
+                         memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_out, H, W), dt),
-            jax.ShapeDtypeStruct((H, W), dt),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((TH, TW), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_shape=tuple(out_shapes),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(pieces)),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((min(n_scales, NSLOT), TH + 2 * Rr_max,
-                        TW + 2 * Rc_max), dt),
-            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
-            pltpu.VMEM((TH + 2 * Rr_max, TW + 2 * Rc_max), dt),
-            pltpu.VMEM((2, TH, TW), dt),
-            pltpu.VMEM((TH, TW), dt),
-            pltpu.SemaphoreType.DMA((min(n_scales, NSLOT),)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOT, TH + 2 * Rmax, TW + 2 * R_COL), dt),
+            pltpu.VMEM((TH + 2 * Rmax, TW + 2 * R_COL), dt),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
         ],
         interpret=interpret,
-    )(factors.astype(jnp.float32), thresholds.astype(jnp.float32), padded)
-    return out, recon
+    )(factors.astype(jnp.float32),
+      jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(n_fast, -1),
+                       (n_fast, B)),
+      *pieces)
+    if write_planes:
+        recon, planes = outs
+        return planes, recon
+    return None, outs
