@@ -51,8 +51,9 @@ def main():
                                6, (1.0,) * 7, True,
                                (5., 2., 0., 0., 0., 0., 1.), False,
                                True, False, 3.2, None, None, 0.0)
-    pieces, layout = decompose_pieces(x, 6, B3SPLINE)
-    got_r, got_p = W._wow_body_fused(pieces, layout, jnp.zeros(()),
+    pieces, layout, tail = decompose_pieces(x, 6, B3SPLINE,
+                                            defer_tail=True)
+    got_r, got_p = W._wow_body_fused(pieces, layout, tail, jnp.zeros(()),
                                      False, B3SPLINE, 6, (1.0,) * 7,
                                      (5., 2., 0., 0., 0., 0., 1.), True)
     err = max(float(jnp.abs(got_r - ref_r).max()),

@@ -67,6 +67,37 @@ def test_can_fuse_dispatch():
         x32, 6, B3SPLINE, None, (0, 1), "symmetric", backend="cpu")
 
 
+def test_deferred_tail_wow(img32, monkeypatch):
+    """wow with a deferred decompose tail (deep scales computed inline
+    in the whitening loop) matches the fully-materialized body.  The
+    plan is forced to leave a 2-scale tail so the deferral logic runs
+    even at test size."""
+    import importlib
+
+    from wavelets_tpu.core.transform import decompose_pieces
+    W = importlib.import_module("wavelets_tpu.models.wow")
+
+    monkeypatch.setattr(pallas_conv, "plan_groups",
+                        lambda H, w, level, hw, itemsize=4:
+                        ([(0, 2)], level - 2))
+    pieces, layout, tail = decompose_pieces(
+        img32, 4, B3SPLINE, use_pallas=True, defer_tail=True)
+    assert tail is not None and tail[1] == 2
+    assert len(layout) == 2
+    zero = jnp.zeros((), jnp.float32)
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, tail, zero, False, B3SPLINE, 4, (1.0,) * 5,
+        (5.0, 2.0, 0.0, 0.0, 1.0), True)
+    planes = decompose(img32, 4, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, zero, False, B3SPLINE, 4, (1.0,) * 5, True,
+        (5.0, 2.0, 0.0, 0.0, 1.0), False, True, False, 3.2, None,
+        None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
 def test_fused_bf16_matches_xla_bf16(rng):
     """The kernels are dtype-generic: forced-bf16 fused decompose matches
     the XLA bf16 path within bf16 rounding.  (Dispatch keeps bf16 on the

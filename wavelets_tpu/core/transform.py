@@ -205,6 +205,7 @@ def decompose_pieces(
     bilateral_scaling: bool = False,
     boundary: Optional[str] = None,
     use_pallas: Optional[bool] = None,
+    defer_tail: bool = False,
 ):
     """Decomposition as ``(pieces, layout)`` — the fused kernels' native
     form, with no plane-cube concatenation.
@@ -213,7 +214,13 @@ def decompose_pieces(
     the detail plane of scale ``s`` (and ``layout[level]`` the
     residual).  Consumers that whiten/denoise per scale (models/wow.py)
     read straight from the group cubes; :func:`decompose` is the
-    one-cube convenience form."""
+    one-cube convenience form.
+
+    With ``defer_tail=True`` the return is ``(pieces, layout, tail)``:
+    scales past the fused groups are left uncomputed and ``tail =
+    (residual, n_tail)`` hands the smooth carry to the consumer (None
+    when all scales were computed, in which case ``layout`` covers
+    ``level + 1`` entries as usual)."""
     if axes is None:
         axes = tuple(range(x.ndim))
     axes = tuple(a % x.ndim for a in axes)
@@ -231,17 +238,23 @@ def decompose_pieces(
                 residual, n, sf, axes=axes, boundary=boundary,
                 scale_offset=offset, use_pallas=False)
 
-        pieces, layout = pallas_conv.fused_decompose_pieces(
-            x, level, sf, xla_tail=xla_tail,
+        pieces, layout, tail = pallas_conv.fused_decompose_pieces(
+            x, level, sf, xla_tail=xla_tail, defer_tail=defer_tail,
             interpret=jax.default_backend() == "cpu")
-        return tuple(pieces), tuple(
-            layout[s] for s in range(level + 1))
+        n_done = level + 1 - (tail[1] + 1 if tail is not None else 0)
+        layout = tuple(layout[s] for s in range(n_done))
+        if defer_tail:
+            return tuple(pieces), layout, tail
+        return tuple(pieces), layout
 
     planes = decompose(
         x, level, sf, axes=axes, bilateral=bilateral,
         bilateral_scaling=bilateral_scaling, boundary=boundary,
         use_pallas=False)
-    return (planes,), tuple((0, s) for s in range(level + 1))
+    layout = tuple((0, s) for s in range(level + 1))
+    if defer_tail:
+        return (planes,), layout, None
+    return (planes,), layout
 
 
 def assemble_pieces(pieces, layout) -> jax.Array:

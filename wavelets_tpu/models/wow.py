@@ -77,22 +77,24 @@ class VmapSafeReduceOps(LocalReduceOps):
 _LOCAL_OPS = LocalReduceOps()
 
 
-def _can_fuse_whiten(pieces, n_scales, whitening, preserve_variance,
+def _can_fuse_whiten(data, n_scales, whitening, preserve_variance,
                      gamma_active, bilateral):
     """Fused Pallas whitening applies to the standard (optionally
     batched) WOW: 2-D f32, whitening on, no gamma blend, no variance
-    preservation, no bilateral, tileable shape, on TPU.  ``pieces`` is
-    the decompose output (tuple of plane cubes, see
-    core.transform.decompose_pieces)."""
+    preservation, no bilateral, tileable shape, on TPU.  Decidable from
+    the raw input, *before* decomposition — wow_core uses it to defer
+    the deep-scale tail into the whitening loop."""
     if jax.default_backend() == "cpu":
         return False
     if not whitening or preserve_variance or gamma_active or bilateral:
         return False
-    p0 = pieces[0]
-    # f32 only — in bf16 the XLA path is faster (see pallas_conv.can_fuse)
-    if p0.ndim not in (3, 4) or p0.dtype != jnp.float32:
+    # f32 only.  bf16 measured end-to-end (4k L6, v5e): pure XLA
+    # 4.63 ms beats the hybrid XLA-decompose + Pallas-whiten 5.44 ms —
+    # halved HBM traffic benefits XLA's fusions fully while the kernels
+    # keep their fixed per-step costs.  See DESIGN.md.
+    if data.ndim not in (2, 3) or data.dtype != jnp.float32:
         return False
-    H, W = p0.shape[-2:]
+    H, W = data.shape[-2:]
     return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
 
 
@@ -137,20 +139,25 @@ def _wow_mega(
 
 
 def _wow_body_fused(
-    pieces, layout, noise, has_noise, sf, n_scales, weights,
+    pieces, layout, tail, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold,
 ):
     """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
     reading detail planes straight from the decompose group cubes
     (``pieces``/``layout``, see core.transform.decompose_pieces) — no
     plane-cube concatenation on the reconstruction path.  Scales whose
-    power-smooth halo exceeds the VMEM window, and the residual, run the
-    standard XLA ops.  Numerically equivalent to :func:`_wow_body` for
-    the supported configuration (erf approximation aside)."""
+    power-smooth halo exceeds the VMEM window run the standard XLA ops;
+    scales past the fused decompose groups arrive *deferred* (``tail =
+    (residual, n_tail)``) and their smooth/difference/whiten steps fuse
+    into one XLA region per scale — the detail planes never round-trip
+    through HBM unwhitened.  Numerically equivalent to :func:`_wow_body`
+    for the supported configuration (erf approximation aside)."""
     from ..ops.pallas_wow import fused_whiten_pieces, whiten_max_scale
 
     batched = pieces[0].ndim == 4
     pieces_b = tuple(p if batched else p[:, None] for p in pieces)
+    tail_start = n_scales - tail[1] if tail is not None else n_scales
+    sp_axes = tuple(range(pieces[0].ndim - 1))[-2:]
 
     def plane(s):
         k, r = layout[s]
@@ -163,7 +170,7 @@ def _wow_body_fused(
         noise = mad_noise(plane(0), float(sigma_e[0]))
     noise = jnp.asarray(noise, pieces[0].dtype)
 
-    n_fast = min(n_scales, whiten_max_scale(sf) + 1)
+    n_fast = min(n_scales, whiten_max_scale(sf) + 1, tail_start)
     noise32 = noise.astype(jnp.float32)
     thresholds = jnp.stack([
         (denoise_coefficients[s] * float(sigma_e[s])) * noise32
@@ -178,25 +185,39 @@ def _wow_body_fused(
         interpret=jax.default_backend() == "cpu")
     recon = partial if batched else partial[0]
 
-    out_rows = [whitened[s] if batched else whitened[s, 0]
-                for s in range(n_fast)]
-    # deep detail scales: XLA path (halo exceeds the VMEM window)
-    for s in range(n_fast, n_scales):
-        c = plane(s)
-        lp = smooth(c * c, sf, scale=s,
-                    axes=tuple(range(c.ndim))[-2:])
-        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp))
+    def whiten_detail(c, s):
+        lp = smooth(c * c, sf, scale=s, axes=sp_axes)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
+                                lp))
         if denoise_coefficients[s] != 0:
             c = c * significance(c, denoise_coefficients[s], noise,
                                  float(sigma_e[s]), soft_threshold)
-        c = c * (weights[s] / lp)
+        return c * (weights[s] / lp)
+
+    out_rows = [whitened[s] if batched else whitened[s, 0]
+                for s in range(n_fast)]
+    # materialized deep scales: XLA path (halo exceeds the VMEM window)
+    for s in range(n_fast, tail_start):
+        c = whiten_detail(plane(s), s)
         out_rows.append(c)
         recon = recon + c
+    # deferred tail scales: smooth carry chains in-register; the
+    # difference, power smooth and whitening fuse per scale
+    if tail is not None:
+        carry = tail[0]
+        for s in range(tail_start, n_scales):
+            c_next = smooth(carry, sf, scale=s, axes=sp_axes)
+            c = whiten_detail(carry - c_next, s)
+            out_rows.append(c)
+            recon = recon + c
+            carry = c_next
+        residual = carry
+    else:
+        residual = plane(n_scales)
     # residual: global-std normalization (watroo/utils.py:185-191)
-    c = plane(n_scales)
-    lp = jnp.std(c)
-    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
-    c = c * (weights[n_scales] / lp)
+    lp = jnp.std(residual)
+    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
+    c = residual * (weights[n_scales] / lp)
     out_rows.append(c)
     recon = recon + c
     # the (n_scales+1) cube only materializes if the caller consumes it
@@ -338,18 +359,22 @@ def wow_core(
     # window amplification makes it VPU-bound and ~60% slower than the
     # decompose+whiten kernel pair on v5e.  Kept for platforms with
     # larger VMEM (bigger tiles flip the trade).
+    if fuse and _can_fuse_whiten(data, n_scales, whitening,
+                                 preserve_variance, h > 0,
+                                 bilateral is not None):
+        pieces, layout, tail = decompose_pieces(
+            data, n_scales, sf, axes=axes, bilateral=bilateral,
+            bilateral_scaling=bilateral_scaling, defer_tail=True,
+        )
+        return _wow_body_fused(
+            pieces, layout, tail, noise, has_noise, sf, n_scales,
+            weights, denoise_coefficients, soft_threshold,
+        )
     pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
         bilateral_scaling=bilateral_scaling,
         use_pallas=None if fuse else False,
     )
-    if fuse and _can_fuse_whiten(pieces, n_scales, whitening,
-                                 preserve_variance, h > 0,
-                                 bilateral is not None):
-        return _wow_body_fused(
-            pieces, layout, noise, has_noise, sf, n_scales, weights,
-            denoise_coefficients, soft_threshold,
-        )
     planes = assemble_pieces(pieces, layout)
     return _wow_body(
         planes, noise, has_noise, sf, n_scales, weights, whitening,

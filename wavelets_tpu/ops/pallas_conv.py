@@ -238,12 +238,17 @@ _XLA_SCALE_BYTES = 20.0
 
 def _vmem_bytes(TH: int, TW: int, level: int, R: int,
                 itemsize: int = 4) -> int:
-    """VMEM footprint: input slots + tmp + sm + ~1 Mosaic temp of buffer
-    size, plus the double-buffered revolving output window."""
+    """VMEM footprint: input slots + tmp + sm working buffers (input
+    dtype), Mosaic elementwise temps (always f32 — the conv passes
+    accumulate in f32, so bf16 runs need twice the temp headroom
+    relative to their buffers; measured 17 MB scoped at the old
+    accounting), plus the double-buffered revolving output window."""
     Rr, Rc = _aligned_halos(R)
-    buf = (TH + 2 * Rr) * (TW + 2 * Rc) * itemsize
+    window = (TH + 2 * Rr) * (TW + 2 * Rc)
+    buf = window * itemsize
+    n_temps = 1 if itemsize == 4 else 2
     out_win = 2 * (level + 1) * TH * TW * itemsize
-    return (N_SLOTS + 3) * buf + out_win
+    return (N_SLOTS + 2) * buf + n_temps * window * 4 + out_win
 
 
 def _group_cost(H, W, g, R, TH, TW, itemsize):
@@ -391,17 +396,24 @@ def fused_decompose_pieces(
     *,
     interpret: bool = False,
     xla_tail=None,
+    defer_tail: bool = False,
 ):
     """Multi-scale decomposition as a list of *pieces* — no plane-cube
     concatenation (a full-cube concat costs ~2 image round trips per
     plane set; consumers that only need per-scale planes, like the
     whiten kernel, read straight from the group cubes).
 
-    Returns ``(pieces, layout)``: ``pieces[k]`` is a cube whose rows are
-    detail planes; ``layout[s] = (k, row)`` locates scale ``s``;
-    ``layout[level]`` locates the final residual.  Scales whose dilation
-    is too wide for VMEM halos run through ``xla_tail(residual, n,
-    offset)`` — supplied by core.transform to avoid an import cycle.
+    Returns ``(pieces, layout, tail)``: ``pieces[k]`` is a cube whose
+    rows are detail planes; ``layout[s] = (k, row)`` locates scale
+    ``s``; ``layout[level]`` locates the final residual.  Scales whose
+    dilation is too wide for VMEM halos run through ``xla_tail(residual,
+    n, offset)`` — supplied by core.transform to avoid an import cycle.
+    With ``defer_tail=True`` those scales are instead left *uncomputed*:
+    ``tail = (residual, n_tail)`` hands the smooth carry at scale
+    ``level − n_tail`` to the consumer, which fuses the remaining
+    smooth/difference steps into its own per-scale passes (models/wow.py
+    whitening) — saving one detail-plane HBM round trip per deep scale.
+    ``tail`` is None when every scale was computed.
     ``x``: ``(H, W)`` or ``(B, H, W)``."""
     H, W = x.shape[-2:]
     groups, n_tail = plan_groups(H, W, level, sf.half_width,
@@ -416,6 +428,8 @@ def fused_decompose_pieces(
             layout[offset + s] = (len(pieces), s)
         pieces.append(planes)
         cur = planes[g]
+    if n_tail and defer_tail:
+        return pieces, layout, (cur, n_tail)
     if n_tail:
         assert xla_tail is not None
         tail = xla_tail(cur, n_tail, level - n_tail)
@@ -424,7 +438,7 @@ def fused_decompose_pieces(
         pieces.append(tail)
     else:
         layout[level] = (len(pieces) - 1, groups[-1][1])
-    return pieces, layout
+    return pieces, layout, None
 
 
 def fused_decompose(
@@ -436,7 +450,7 @@ def fused_decompose(
     xla_tail=None,
 ) -> jax.Array:
     """Plane-cube form of :func:`fused_decompose_pieces` (one concat)."""
-    pieces, layout = fused_decompose_pieces(
+    pieces, layout, _ = fused_decompose_pieces(
         x, level, sf, interpret=interpret, xla_tail=xla_tail)
     rows = [pieces[k][r] for s in range(level + 1)
             for (k, r) in [layout[s]]]
