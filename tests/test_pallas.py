@@ -98,6 +98,39 @@ def test_deferred_tail_wow(img32, monkeypatch):
     assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
 
 
+def test_batched_fused_wow_per_frame(rng):
+    """Batched fused wow body (leading frame dim through the kernels)
+    computes per-frame statistics — matches a loop of single-frame
+    bodies."""
+    import importlib
+
+    from wavelets_tpu.core.transform import decompose, decompose_pieces
+    W = importlib.import_module("wavelets_tpu.models.wow")
+
+    stack = jnp.asarray(
+        rng.normal(size=(3, 256, 256)).astype(np.float32))
+    stack = stack * jnp.asarray([1.0, 3.0, 0.5],
+                                jnp.float32)[:, None, None]
+    pieces, layout, tail = decompose_pieces(
+        stack, 3, B3SPLINE, axes=(1, 2), use_pallas=True,
+        defer_tail=True)
+    zero = jnp.zeros((3,), jnp.float32)
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, tail, zero, False, B3SPLINE, 3, (1.0,) * 4,
+        (5.0, 2.0, 0.0, 1.0), True)
+    assert got_p.shape == (3, 4, 256, 256)
+    for b in range(3):
+        planes = decompose(stack[b], 3, B3SPLINE, use_pallas=False)
+        # per-frame noise must match the single-frame lazy MAD path
+        ref_r, ref_p = W._wow_body(
+            planes, jnp.zeros(()), False, B3SPLINE, 3, (1.0,) * 4,
+            True, (5.0, 2.0, 0.0, 1.0), False, True, False, 3.2,
+            None, None, 0.0, rops=W.VmapSafeReduceOps())
+        scale = float(jnp.max(jnp.abs(ref_r)))
+        assert float(jnp.max(jnp.abs(got_r[b] - ref_r))) < 5e-6 * scale
+        assert float(jnp.max(jnp.abs(got_p[b] - ref_p))) < 5e-6 * scale
+
+
 def test_fused_bf16_matches_xla_bf16(rng):
     """The kernels are dtype-generic: forced-bf16 fused decompose matches
     the XLA bf16 path within bf16 rounding.  (Dispatch keeps bf16 on the

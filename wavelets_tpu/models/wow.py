@@ -30,7 +30,7 @@ from ..core.transform import (
 )
 from ..ops.conv import smooth
 from ..ops.filters import ScalingFunction
-from ..ops.stats import mad_noise, significance
+from ..ops.stats import mad_noise, mad_noise_frames, significance
 
 __all__ = ["wow", "wow_core", "wow_stack"]
 
@@ -77,13 +77,17 @@ class VmapSafeReduceOps(LocalReduceOps):
 _LOCAL_OPS = LocalReduceOps()
 
 
-def _can_fuse_whiten(data, n_scales, whitening, preserve_variance,
+def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
                      gamma_active, bilateral):
     """Fused Pallas whitening applies to the standard (optionally
-    batched) WOW: 2-D f32, whitening on, no gamma blend, no variance
-    preservation, no bilateral, tileable shape, on TPU.  Decidable from
-    the raw input, *before* decomposition — wow_core uses it to defer
-    the deep-scale tail into the whitening loop."""
+    frame-batched) WOW: 2-D f32, whitening on, no gamma blend, no
+    variance preservation, no bilateral, tileable shape, on TPU.
+    Decidable from the raw input, *before* decomposition — wow_core
+    uses it to defer the deep-scale tail into the whitening loop.
+
+    A 3-D input qualifies only as a frame *stack* (``axes == (1, 2)``);
+    a 3-D volume (``axes`` covering all three) is a genuinely 3-D
+    transform (watroo/wavelets.py:47-64) and takes the XLA path."""
     if jax.default_backend() == "cpu":
         return False
     if not whitening or preserve_variance or gamma_active or bilateral:
@@ -94,6 +98,11 @@ def _can_fuse_whiten(data, n_scales, whitening, preserve_variance,
     # keep their fixed per-step costs.  See DESIGN.md.
     if data.ndim not in (2, 3) or data.dtype != jnp.float32:
         return False
+    spatial = tuple(range(data.ndim - 2, data.ndim))
+    if axes is not None and tuple(a % data.ndim for a in axes) != spatial:
+        return False
+    if data.ndim == 3 and axes is None:
+        return False  # volume transform, not a frame stack
     H, W = data.shape[-2:]
     return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
 
@@ -167,14 +176,21 @@ def _wow_body_fused(
     if not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales]
     ):
-        noise = mad_noise(plane(0), float(sigma_e[0]))
+        # batched ⇒ per-frame statistics (wow_stack semantics: a stack
+        # is a batch of independent frames, watroo loop equivalent)
+        if batched:
+            noise = mad_noise_frames(plane(0), float(sigma_e[0]))
+        else:
+            noise = mad_noise(plane(0), float(sigma_e[0]))
     noise = jnp.asarray(noise, pieces[0].dtype)
+    if batched and noise.ndim == 0:
+        noise = jnp.broadcast_to(noise, (pieces[0].shape[1],))
 
     n_fast = min(n_scales, whiten_max_scale(sf) + 1, tail_start)
     noise32 = noise.astype(jnp.float32)
     thresholds = jnp.stack([
         (denoise_coefficients[s] * float(sigma_e[s])) * noise32
-        if denoise_coefficients[s] != 0 else jnp.zeros((), jnp.float32)
+        if denoise_coefficients[s] != 0 else jnp.zeros_like(noise32)
         for s in range(n_fast)
     ])
     factors = jnp.asarray([weights[s] for s in range(n_fast)],
@@ -182,20 +198,27 @@ def _wow_body_fused(
     whitened, partial = fused_whiten_pieces(
         pieces_b, factors, thresholds, sf, n_fast,
         tuple(layout[:n_fast]), soft=soft_threshold,
+        batch_major=batched,
+        out_rows_total=n_scales + 1 if batched else 0,
         interpret=jax.default_backend() == "cpu")
     recon = partial if batched else partial[0]
+
+    noise_b = noise[:, None, None] if batched else noise
 
     def whiten_detail(c, s):
         lp = smooth(c * c, sf, scale=s, axes=sp_axes)
         lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
                                 lp))
         if denoise_coefficients[s] != 0:
-            c = c * significance(c, denoise_coefficients[s], noise,
+            c = c * significance(c, denoise_coefficients[s], noise_b,
                                  float(sigma_e[s]), soft_threshold)
         return c * (weights[s] / lp)
 
-    out_rows = [whitened[s] if batched else whitened[s, 0]
-                for s in range(n_fast)]
+    # batched: whitened is already (B, n_fast, H, W) batch-major; only
+    # the deep/tail/residual rows are collected and concatenated, so
+    # the fast planes never relayout
+    out_rows = [] if batched else [whitened[s, 0]
+                                   for s in range(n_fast)]
     # materialized deep scales: XLA path (halo exceeds the VMEM window)
     for s in range(n_fast, tail_start):
         c = whiten_detail(plane(s), s)
@@ -214,15 +237,30 @@ def _wow_body_fused(
         residual = carry
     else:
         residual = plane(n_scales)
-    # residual: global-std normalization (watroo/utils.py:185-191)
-    lp = jnp.std(residual)
+    # residual: global-std normalization (watroo/utils.py:185-191),
+    # per frame when batched
+    if batched:
+        lp = jnp.std(residual, axis=(-2, -1), keepdims=True)
+    else:
+        lp = jnp.std(residual)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
     c = residual * (weights[n_scales] / lp)
     out_rows.append(c)
     recon = recon + c
     # the (n_scales+1) cube only materializes if the caller consumes it
-    # (XLA dead-code-eliminates the stack on recon-only serving paths)
-    out = jnp.stack(out_rows)
+    # (XLA dead-code-eliminates the stack on recon-only serving paths);
+    # batched output is (B, n_scales+1, H, W), matching a vmap of
+    # single-frame calls
+    if batched:
+        # the kernel sized the cube (B, n_scales+1, H, W) and wrote the
+        # fast rows; deep/residual rows drop in via in-place
+        # dynamic-update-slice — no concat copy of the fast slab
+        out = whitened
+        for s, row in zip(range(n_fast, n_scales + 1), out_rows):
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, row[:, None], s, axis=1)
+    else:
+        out = jnp.stack(out_rows)
     return recon, out
 
 
@@ -359,7 +397,7 @@ def wow_core(
     # window amplification makes it VPU-bound and ~60% slower than the
     # decompose+whiten kernel pair on v5e.  Kept for platforms with
     # larger VMEM (bigger tiles flip the trade).
-    if fuse and _can_fuse_whiten(data, n_scales, whitening,
+    if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h > 0,
                                  bilateral is not None):
         pieces, layout, tail = decompose_pieces(
@@ -590,7 +628,6 @@ def wow_stack(data, noise=None, **kwargs):
         gamma_max=kwargs.pop("gamma_max", None),
         h=h,
         has_noise=has_noise,
-        fuse=False,  # Pallas kernels cannot run under vmap
     )
     kwargs.pop("h", None)
     if kwargs:
@@ -600,11 +637,21 @@ def wow_stack(data, noise=None, **kwargs):
         noise_arr = jnp.asarray(noise, data.dtype)
         if noise_arr.ndim == 0:
             noise_arr = jnp.broadcast_to(noise_arr, (data.shape[0],))
-        in_axes = (0, 0)
     else:
         noise_arr = jnp.zeros((data.shape[0],), data.dtype)
-        in_axes = (0, 0)
 
-    fn = jax.vmap(lambda d, nz: wow_core(d, nz, **statics),
-                  in_axes=in_axes)
+    if _can_fuse_whiten(data, (1, 2), statics["n_scales"],
+                        statics["whitening"],
+                        statics["preserve_variance"], h > 0,
+                        statics["bilateral"] is not None):
+        # batched Pallas fast path: the fused kernels carry the frame
+        # dimension on a leading grid axis (no vmap, no per-frame
+        # dispatch); statistics are per frame inside _wow_body_fused
+        return wow_core(data, noise_arr, axes=(1, 2), fuse=True,
+                        **statics)
+
+    # fallback (bilateral / gamma blend / CPU / odd shapes): per-frame
+    # vmap of the XLA path (Pallas kernels cannot run under vmap)
+    fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
+                  in_axes=(0, 0))
     return fn(data, noise_arr)

@@ -5,7 +5,7 @@ TPU, and on this platform every separate kernel launch costs
 milliseconds — so a bisection that launches one rank-count kernel per
 pass pays ~10 launch overheads.  This kernel instead exploits the
 *sequential* execution of the TPU Pallas grid to run the whole
-selection in one launch: the grid is (pass, chunk); SMEM scratch holds
+selection in one launch: the grid is (frame, pass, chunk); SMEM scratch holds
 the [lo, hi] bit-pattern interval, every chunk accumulates per-lane
 rank counts for 16 interval buckets into VMEM scratch, and the last
 chunk of each pass reduces the counts and narrows the interval.
@@ -44,8 +44,9 @@ MAXPAT = 2 ** 31 - 1
 
 def _make_kernel(CH: int, SEC: int, cols: int, n_chunks: int):
     def kernel(ks_ref, bits_ref, out_ref, state, counts, lanemin):
-        p = pl.program_id(0)
-        c = pl.program_id(1)
+        b = pl.program_id(0)
+        p = pl.program_id(1)
+        c = pl.program_id(2)
 
         @pl.when((p == 0) & (c == 0))
         def _():
@@ -67,7 +68,7 @@ def _make_kernel(CH: int, SEC: int, cols: int, n_chunks: int):
                       for j in range(K - 1)] + [hi]
 
             for sec in range(CH // SEC):
-                v = bits_ref[sec * SEC:(sec + 1) * SEC, :]
+                v = bits_ref[0, sec * SEC:(sec + 1) * SEC, :]
                 rows = [jnp.sum((v <= bounds[j]).astype(jnp.float32),
                                 axis=0, keepdims=True)
                         for j in range(K)]
@@ -96,7 +97,7 @@ def _make_kernel(CH: int, SEC: int, cols: int, n_chunks: int):
         def _():
             pat = state[0, 1]  # converged: lo == hi == lower statistic
             for sec in range(CH // SEC):
-                v = bits_ref[sec * SEC:(sec + 1) * SEC, :]
+                v = bits_ref[0, sec * SEC:(sec + 1) * SEC, :]
                 counts[0:1, :] += jnp.sum(
                     (v <= pat).astype(jnp.float32), axis=0, keepdims=True)
                 gt = jnp.where(v > pat, v, MAXPAT)
@@ -113,8 +114,8 @@ def _make_kernel(CH: int, SEC: int, cols: int, n_chunks: int):
                 min_gt = jnp.min(lanemin[...])
                 k_hi = ks_ref[1]
                 upper = jnp.where(cnt_le >= k_hi + 1, pat, min_gt)
-                out_ref[0, 0] = pat
-                out_ref[0, 1] = upper
+                out_ref[b, 0] = pat
+                out_ref[b, 1] = upper
 
     return kernel
 
@@ -123,22 +124,27 @@ def _make_kernel(CH: int, SEC: int, cols: int, n_chunks: int):
 def median_bits2(bits: jax.Array, ks: jax.Array,
                  interpret: bool = False) -> jax.Array:
     """Bit patterns (int32, non-negative) of the two order statistics
-    ``ks = [k_lo, k_hi]`` (k_hi ∈ {k_lo, k_lo+1}) of ``bits`` (shape
-    (rows, 1024)).  One kernel launch for the whole selection."""
-    rows, cols = bits.shape
+    ``ks = [k_lo, k_hi]`` (k_hi ∈ {k_lo, k_lo+1}) per frame.  ``bits``
+    is ``(rows, 1024)`` → returns ``(2,)``, or batched ``(B, rows,
+    1024)`` → ``(B, 2)`` (per-frame selection; the batch rides a leading
+    sequential grid dimension, still one kernel launch)."""
+    batched = bits.ndim == 3
+    if not batched:
+        bits = bits[None]
+    B, rows, cols = bits.shape
     CH = 1024
     while rows % CH:
         CH //= 2
     SEC = min(32, CH)
     n_chunks = rows // CH
-    grid = (N_PASS + 1, n_chunks)
+    grid = (B, N_PASS + 1, n_chunks)
     out = pl.pallas_call(
         _make_kernel(CH, SEC, cols, n_chunks),
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 2), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((CH, cols), lambda p, c: (c, 0),
+            pl.BlockSpec((1, CH, cols), lambda b, p, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -149,4 +155,4 @@ def median_bits2(bits: jax.Array, ks: jax.Array,
         ],
         interpret=interpret,
     )(ks, bits)
-    return out[0]
+    return out if batched else out[0]

@@ -115,7 +115,7 @@ def _axis_cases(n_tiles: int, T: int, R: int, total: int):
 def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
                         TH: int, TW: int, ni: int, nj: int,
                         halos, layout, soft: bool, write_planes: bool,
-                        n_pieces: int):
+                        n_pieces: int, batch_major: bool = False):
     hw = (len(taps) - 1) // 2
 
     def kernel(*refs):
@@ -236,7 +236,10 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
             white = wc * mask * (fac_ref[s] / lp)
             acc = acc + white
             if write_planes:
-                planes_ref[s, 0] = white.astype(planes_ref.dtype)
+                if batch_major:
+                    planes_ref[0, s] = white.astype(planes_ref.dtype)
+                else:
+                    planes_ref[s, 0] = white.astype(planes_ref.dtype)
             if s + NSLOT < n_fast:
                 win_dma_do(slot, s + NSLOT, "start")
 
@@ -248,7 +251,7 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
 @functools.partial(
     jax.jit,
     static_argnames=("sf", "n_fast", "layout", "soft", "write_planes",
-                     "interpret"))
+                     "batch_major", "out_rows_total", "interpret"))
 def fused_whiten_pieces(
     pieces,
     factors: jax.Array,
@@ -258,6 +261,8 @@ def fused_whiten_pieces(
     layout: Tuple[Tuple[int, int], ...],
     soft: bool = True,
     write_planes: bool = True,
+    batch_major: bool = False,
+    out_rows_total: int = 0,
     interpret: bool = False,
 ):
     """Whiten detail scales 0..n_fast−1 read from decompose *pieces*.
@@ -268,7 +273,14 @@ def fused_whiten_pieces(
     ``thresholds[s, b]``: per-frame significance threshold (0 → none).
 
     Returns ``(whitened (n_fast, B, H, W) or None, partial_recon
-    (B, H, W))``."""
+    (B, H, W))``.  With ``batch_major=True`` the whitened planes come
+    out ``(B, n_fast, H, W)`` — written in that layout by the kernel,
+    so frame-stack consumers (wow_stack) pay no relayout.
+    ``out_rows_total > n_fast`` (batch-major only) sizes the plane cube
+    ``(B, out_rows_total, H, W)`` with rows ≥ n_fast left
+    *uninitialized* — the caller fills them with in-place
+    ``dynamic_update_slice`` (deep/residual rows), avoiding a full-cube
+    concat copy."""
     _, B, H, W = pieces[0].shape
     halos = tuple(_row_halo(sf, s) for s in range(n_fast))
     assert all(sf.half_width * 2 ** s <= R_COL for s in range(n_fast)), \
@@ -283,13 +295,23 @@ def fused_whiten_pieces(
 
     kernel = _make_whiten_kernel(
         n_fast, sf.taps, TH, TW, ni, nj, halos, layout, soft,
-        write_planes, len(pieces))
+        write_planes, len(pieces), batch_major)
     grid = (B, ni, nj)
 
     out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
     out_specs = [pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
                               memory_space=pltpu.VMEM)]
-    if write_planes:
+    if write_planes and batch_major:
+        n_rows = max(out_rows_total, n_fast)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, n_rows, H, W), dt))
+        # the block covers rows 0..n_fast-1 only; rows beyond stay
+        # untouched for the caller to fill in place
+        out_specs.append(
+            pl.BlockSpec((1, n_fast, TH, TW),
+                         lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM))
+    elif write_planes:
         out_shapes.append(
             jax.ShapeDtypeStruct((n_fast, B, H, W), dt))
         out_specs.append(
