@@ -131,6 +131,56 @@ def test_batched_fused_wow_per_frame(rng):
         assert float(jnp.max(jnp.abs(got_p[b] - ref_p))) < 5e-6 * scale
 
 
+def test_fused_bilateral_matches_xla(img32):
+    """Fused bilateral decompose kernel vs the XLA shift-add bilateral
+    path (f32 tolerance: tap order and variance fusion differ)."""
+    bil = (1.0,) * 5
+    ref = decompose(img32, 4, B3SPLINE, bilateral=bil, use_pallas=False)
+    got = decompose(img32, 4, B3SPLINE, bilateral=bil, use_pallas=True)
+    scale = float(np.abs(np.asarray(ref)).max())
+    d = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert d < 5e-6 * max(scale, 1)
+    rt = np.abs(np.asarray(jnp.sum(got, 0)) - np.asarray(img32)).max()
+    assert rt < 1e-6
+
+
+def test_fused_bilateral_scaling_variant(rng):
+    x = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    bil = (2.0, 1.5, 1.0, 0.5)
+    ref = decompose(x, 3, B3SPLINE, bilateral=bil, bilateral_scaling=True,
+                    use_pallas=False)
+    got = decompose(x, 3, B3SPLINE, bilateral=bil, bilateral_scaling=True,
+                    use_pallas=True)
+    d = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert d < 5e-6
+
+
+def test_bilateral_fused_wow_body(img32):
+    """Bilateral WOW through the fused whiten body (bilateral σ_e table,
+    bilateral deferred-tail smooth) matches the XLA body."""
+    import importlib
+
+    from wavelets_tpu.core.transform import decompose_pieces
+    W = importlib.import_module("wavelets_tpu.models.wow")
+
+    bil = (1.0,) * 4
+    pieces, layout, tail = decompose_pieces(
+        img32, 3, B3SPLINE, bilateral=bil, use_pallas=True,
+        defer_tail=True)
+    zero = jnp.zeros((), jnp.float32)
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, tail, zero, False, B3SPLINE, 3, (1.0,) * 4,
+        (5.0, 2.0, 0.0, 1.0), True, bilateral=bil)
+    planes = decompose(img32, 3, B3SPLINE, bilateral=bil,
+                       use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, zero, False, B3SPLINE, 3, (1.0,) * 4, True,
+        (5.0, 2.0, 0.0, 1.0), True, True, False, 3.2, None, None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 1e-5 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 1e-5 * max(scale, 1)
+
+
 def test_fused_bf16_matches_xla_bf16(rng):
     """The kernels are dtype-generic: forced-bf16 fused decompose matches
     the XLA bf16 path within bf16 rounding.  (Dispatch keeps bf16 on the

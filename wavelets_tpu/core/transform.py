@@ -152,20 +152,43 @@ def decompose(
         boundary = boundary_for_ndim(len(axes))
 
     if scale_offset == 0 and not recursive_borders:
-        from ..ops import pallas_conv
+        if bilateral is not None:
+            from ..ops import pallas_bilateral
 
-        if use_pallas is None:
-            use_pallas = pallas_conv.can_fuse(
-                x, level, sf, bilateral, axes, boundary)
-        if use_pallas:
-            def xla_tail(residual, n, offset):
-                return decompose(
-                    residual, n, sf, axes=axes, boundary=boundary,
-                    scale_offset=offset, use_pallas=False)
+            fuse_b = use_pallas
+            if fuse_b is None:
+                fuse_b = pallas_bilateral.can_fuse_bilateral(
+                    x, level, sf, axes, boundary)
+            if fuse_b:
+                def xla_tail(residual, n, offset):
+                    return decompose(
+                        residual, n, sf, axes=axes, boundary=boundary,
+                        bilateral=bilateral,
+                        bilateral_scaling=bilateral_scaling,
+                        scale_offset=offset, use_pallas=False)
 
-            return pallas_conv.fused_decompose(
-                x, level, sf, xla_tail=xla_tail,
-                interpret=jax.default_backend() == "cpu")
+                pieces, layout, _ = pallas_bilateral.fused_bilateral_pieces(
+                    x, level, sf, bilateral, bilateral_scaling,
+                    xla_tail=xla_tail,
+                    interpret=jax.default_backend() == "cpu")
+                return jnp.stack(
+                    [pieces[k][r] for s in range(level + 1)
+                     for (k, r) in [layout[s]]], axis=0)
+        else:
+            from ..ops import pallas_conv
+
+            if use_pallas is None:
+                use_pallas = pallas_conv.can_fuse(
+                    x, level, sf, bilateral, axes, boundary)
+            if use_pallas:
+                def xla_tail(residual, n, offset):
+                    return decompose(
+                        residual, n, sf, axes=axes, boundary=boundary,
+                        scale_offset=offset, use_pallas=False)
+
+                return pallas_conv.fused_decompose(
+                    x, level, sf, xla_tail=xla_tail,
+                    interpret=jax.default_backend() == "cpu")
 
     if recursive_borders:
         hw = sf.half_width * 2 ** (level - 1) if level > 0 else 0
@@ -227,25 +250,51 @@ def decompose_pieces(
     if boundary is None:
         boundary = boundary_for_ndim(len(axes))
 
-    from ..ops import pallas_conv
+    if bilateral is not None:
+        from ..ops import pallas_bilateral
 
-    if use_pallas is None:
-        use_pallas = pallas_conv.can_fuse(
-            x, level, sf, bilateral, axes, boundary)
-    if use_pallas:
-        def xla_tail(residual, n, offset):
-            return decompose(
-                residual, n, sf, axes=axes, boundary=boundary,
-                scale_offset=offset, use_pallas=False)
+        fuse_b = use_pallas
+        if fuse_b is None:
+            fuse_b = pallas_bilateral.can_fuse_bilateral(
+                x, level, sf, axes, boundary)
+        if fuse_b:
+            def xla_tail(residual, n, offset):
+                return decompose(
+                    residual, n, sf, axes=axes, boundary=boundary,
+                    bilateral=bilateral,
+                    bilateral_scaling=bilateral_scaling,
+                    scale_offset=offset, use_pallas=False)
 
-        pieces, layout, tail = pallas_conv.fused_decompose_pieces(
-            x, level, sf, xla_tail=xla_tail, defer_tail=defer_tail,
-            interpret=jax.default_backend() == "cpu")
-        n_done = level + 1 - (tail[1] + 1 if tail is not None else 0)
-        layout = tuple(layout[s] for s in range(n_done))
-        if defer_tail:
-            return tuple(pieces), layout, tail
-        return tuple(pieces), layout
+            pieces, layout, tail = \
+                pallas_bilateral.fused_bilateral_pieces(
+                    x, level, sf, bilateral, bilateral_scaling,
+                    xla_tail=xla_tail, defer_tail=defer_tail,
+                    interpret=jax.default_backend() == "cpu")
+            n_done = level + 1 - (tail[1] + 1 if tail is not None else 0)
+            layout = tuple(layout[s] for s in range(n_done))
+            if defer_tail:
+                return tuple(pieces), layout, tail
+            return tuple(pieces), layout
+    else:
+        from ..ops import pallas_conv
+
+        if use_pallas is None:
+            use_pallas = pallas_conv.can_fuse(
+                x, level, sf, bilateral, axes, boundary)
+        if use_pallas:
+            def xla_tail(residual, n, offset):
+                return decompose(
+                    residual, n, sf, axes=axes, boundary=boundary,
+                    scale_offset=offset, use_pallas=False)
+
+            pieces, layout, tail = pallas_conv.fused_decompose_pieces(
+                x, level, sf, xla_tail=xla_tail, defer_tail=defer_tail,
+                interpret=jax.default_backend() == "cpu")
+            n_done = level + 1 - (tail[1] + 1 if tail is not None else 0)
+            layout = tuple(layout[s] for s in range(n_done))
+            if defer_tail:
+                return tuple(pieces), layout, tail
+            return tuple(pieces), layout
 
     planes = decompose(
         x, level, sf, axes=axes, bilateral=bilateral,

@@ -87,10 +87,14 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
 
     A 3-D input qualifies only as a frame *stack* (``axes == (1, 2)``);
     a 3-D volume (``axes`` covering all three) is a genuinely 3-D
-    transform (watroo/wavelets.py:47-64) and takes the XLA path."""
+    transform (watroo/wavelets.py:47-64) and takes the XLA path.
+
+    Bilateral qualifies: the whitening math is identical (the power
+    smooth is plain either way, watroo/utils.py:194) — only the σ_e
+    table differs, handled inside _wow_body_fused."""
     if jax.default_backend() == "cpu":
         return False
-    if not whitening or preserve_variance or gamma_active or bilateral:
+    if not whitening or preserve_variance or gamma_active:
         return False
     # f32 only.  bf16 measured end-to-end (4k L6, v5e): pure XLA
     # 4.63 ms beats the hybrid XLA-decompose + Pallas-whiten 5.44 ms —
@@ -150,6 +154,7 @@ def _wow_mega(
 def _wow_body_fused(
     pieces, layout, tail, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold,
+    bilateral=None, bilateral_scaling=False,
 ):
     """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
     reading detail planes straight from the decompose group cubes
@@ -172,7 +177,7 @@ def _wow_body_fused(
         k, r = layout[s]
         return pieces[k][r]
 
-    sigma_e = sf.sigma_e(2, False)
+    sigma_e = sf.sigma_e(2, bilateral is not None)
     if not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales]
     ):
@@ -225,11 +230,16 @@ def _wow_body_fused(
         out_rows.append(c)
         recon = recon + c
     # deferred tail scales: smooth carry chains in-register; the
-    # difference, power smooth and whitening fuse per scale
+    # difference, power smooth and whitening fuse per scale (the chain
+    # smooth is bilateral when the transform is; the *power* smooth in
+    # whiten_detail stays plain, watroo/utils.py:194)
     if tail is not None:
+        from ..core.transform import _smooth_step
+
         carry = tail[0]
         for s in range(tail_start, n_scales):
-            c_next = smooth(carry, sf, scale=s, axes=sp_axes)
+            c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
+                                  bilateral, bilateral_scaling)
             c = whiten_detail(carry - c_next, s)
             out_rows.append(c)
             recon = recon + c
@@ -407,6 +417,7 @@ def wow_core(
         return _wow_body_fused(
             pieces, layout, tail, noise, has_noise, sf, n_scales,
             weights, denoise_coefficients, soft_threshold,
+            bilateral=bilateral, bilateral_scaling=bilateral_scaling,
         )
     pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
@@ -650,8 +661,8 @@ def wow_stack(data, noise=None, **kwargs):
         return wow_core(data, noise_arr, axes=(1, 2), fuse=True,
                         **statics)
 
-    # fallback (bilateral / gamma blend / CPU / odd shapes): per-frame
-    # vmap of the XLA path (Pallas kernels cannot run under vmap)
+    # fallback (gamma blend / CPU / odd shapes): per-frame vmap of the
+    # XLA path (Pallas kernels cannot run under vmap)
     fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
                   in_axes=(0, 0))
     return fn(data, noise_arr)
