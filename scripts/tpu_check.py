@@ -60,13 +60,6 @@ def main():
               float(jnp.abs(got_p - ref_p).max()))
     check(f"fused whiten err={err:.2e}", err < 5e-5)
 
-    # mega kernel (not dispatched, still must be correct)
-    got_r, got_p = W._wow_mega(x, jnp.zeros(()), False, B3SPLINE, 6,
-                               (1.0,) * 7,
-                               (5., 2., 0., 0., 0., 0., 1.), True)
-    err = float(jnp.abs(got_r - ref_r).max())
-    check(f"mega kernel err={err:.2e}", err < 5e-5)
-
     # exact median
     a = jnp.abs(jnp.asarray(
         rng.normal(size=(1024 * 1024,)).astype(np.float32)))

@@ -61,10 +61,11 @@ class LocalReduceOps:
 
 
 class VmapSafeReduceOps(LocalReduceOps):
-    """Reductions usable under vmap (the Pallas median kernel cannot be
-    batched).  On accelerators the XLA sort is pathologically slow to
-    compile and run, so the vmappable streaming bisection is used; CPU
-    keeps the (fast there) sort-based median."""
+    """Reductions usable under vmap (Pallas kernels cannot run under
+    vmap; batched stacks should prefer the frame-grid kernels via
+    ops.stats.median_abs_frames).  On accelerators the XLA sort is
+    pathologically slow to compile and run, so the vmappable streaming
+    bisection is used; CPU keeps the (fast there) sort-based median."""
 
     def median_abs(self, x):
         from ..ops.stats import _median_nonneg_bisect
@@ -79,9 +80,9 @@ _LOCAL_OPS = LocalReduceOps()
 
 def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
                      gamma_active, bilateral):
-    """Fused Pallas whitening applies to the standard (optionally
-    frame-batched) WOW: 2-D f32, whitening on, no gamma blend, no
-    variance preservation, no bilateral, tileable shape, on TPU.
+    """Fused Pallas whitening applies to the standard or bilateral
+    (optionally frame-batched) WOW: 2-D f32, whitening on, no gamma
+    blend, no variance preservation, tileable shape, on TPU.
     Decidable from the raw input, *before* decomposition — wow_core
     uses it to defer the deep-scale tail into the whitening loop.
 
@@ -109,46 +110,6 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
         return False  # volume transform, not a frame stack
     H, W = data.shape[-2:]
     return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
-
-
-def _wow_mega(
-    data, noise, has_noise, sf, n_scales, weights,
-    denoise_coefficients, soft_threshold,
-):
-    """Fully-fused WOW (ops/pallas_mega.py): decomposition, power
-    smoothing and whitening in one kernel pass; only the residual's
-    global-std normalization (and the optional MAD noise estimate) run
-    in XLA."""
-    from ..ops.pallas_mega import fused_wow_mega
-    from ..ops.conv import smooth as _smooth
-
-    sigma_e = sf.sigma_e(2, False)
-    if not has_noise and any(
-        d != 0 for d in denoise_coefficients[:n_scales]
-    ):
-        w0 = data - _smooth(data, sf, scale=0)
-        noise = mad_noise(w0, float(sigma_e[0]))
-    noise = jnp.asarray(noise, data.dtype)
-
-    thresholds = jnp.stack([
-        (denoise_coefficients[s] * float(sigma_e[s])) * noise
-        if denoise_coefficients[s] != 0 else jnp.zeros((), data.dtype)
-        for s in range(n_scales)
-    ])
-    factors = jnp.asarray([weights[s] for s in range(n_scales)],
-                          data.dtype)
-    planes, partial = fused_wow_mega(
-        data, factors, thresholds, sf, n_scales, soft=soft_threshold,
-        interpret=jax.default_backend() == "cpu")
-
-    # residual: global-std normalization (watroo/utils.py:185-191)
-    c = planes[n_scales]
-    lp = jnp.std(c)
-    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype), lp)
-    c = c * (weights[n_scales] / lp)
-    recon = partial + c
-    out = jnp.concatenate([planes[:n_scales], c[None]], axis=0)
-    return recon, out
 
 
 def _wow_body_fused(
@@ -401,12 +362,12 @@ def wow_core(
     """Fused decomposition + whitening from a raw image.  Returns
     ``(recon, planes)``.  ``fuse=False`` disables the Pallas fast paths
     (required under vmap)."""
-    # NB: the fully-fused single-pass kernel (_wow_mega /
-    # ops/pallas_mega.py) is numerically verified but NOT dispatched:
-    # its halo R = hw·(3·2^(L−1)−1) forces 256² tiles, whose 6.25×
-    # window amplification makes it VPU-bound and ~60% slower than the
-    # decompose+whiten kernel pair on v5e.  Kept for platforms with
-    # larger VMEM (bigger tiles flip the trade).
+    # NB: a fully-fused single-pass WOW kernel (decompose + power
+    # smooth + whiten in one launch) was built, verified, and measured
+    # ~60% SLOWER than the decompose+whiten kernel pair on v5e: its
+    # halo R = hw·(3·2^(L−1)−1) forces 256² tiles whose 6.25× window
+    # amplification makes it VPU-bound.  Removed in round 2 (git
+    # history: ops/pallas_mega.py); see DESIGN.md for the analysis.
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h > 0,
                                  bilateral is not None):
