@@ -60,6 +60,28 @@ def main():
               float(jnp.abs(got_p - ref_p).max()))
     check(f"fused whiten err={err:.2e}", err < 5e-5)
 
+    # deep whiten step: carry chain bitwise vs XLA, white within a ulp
+    from wavelets_tpu.ops.conv import smooth
+    from wavelets_tpu.ops.pallas_deep import deep_whiten_step
+
+    @jax.jit
+    def ref_step(v):
+        c_next = smooth(v, B3SPLINE, scale=6)
+        c = v - c_next
+        lp = smooth(c * c, B3SPLINE, scale=6)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
+                                lp))
+        return c * (1.0 / lp), c_next
+
+    rw, rc = ref_step(x)
+    white, _, cn = deep_whiten_step(
+        x[None], jnp.zeros((1, 512, 512), jnp.float32), jnp.zeros((1,)),
+        sf=B3SPLINE, scale=6, weight=1.0, masked=False)
+    check("deep step carry bitwise s=6",
+          bool(jnp.all(cn[0] == rc)))
+    errw = float(jnp.abs(white[0] - rw).max())
+    check(f"deep step white err={errw:.2e}", errw < 5e-6)
+
     # exact median
     a = jnp.abs(jnp.asarray(
         rng.normal(size=(1024 * 1024,)).astype(np.float32)))
@@ -86,7 +108,7 @@ def main():
     float(ssum(z))
     dt = (time.perf_counter() - t0) / 10
     print(f"wow 4k L10: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps", flush=True)
-    check("wow 4k L10 under 40ms", dt < 0.040)
+    check("wow 4k L10 under 15ms", dt < 0.015)
 
     print(("ALL PASS" if not failures else
            f"{len(failures)} FAILURES: {failures}"), flush=True)

@@ -1,0 +1,165 @@
+"""Fused deep-scale whiten step (ops/pallas_deep.py) vs the XLA
+deferred-tail path, in interpreter mode on CPU.
+
+The carry chain (``c_next``) must be *bitwise* equal to the XLA smooth
+(it feeds every later scale); the whitened output is allowed one-ulp
+differences (XLA rewrites ``x / sqrt(lp)`` to rsqrt inside its fusions;
+the erf mask uses the same A&S approximation as the fused whiten
+kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+W = importlib.import_module("wavelets_tpu.models.wow")
+from wavelets_tpu.ops import pallas_conv
+from wavelets_tpu.ops.conv import smooth
+from wavelets_tpu.ops.filters import B3SPLINE
+from wavelets_tpu.ops.pallas_deep import can_deep, deep_whiten_step
+
+
+@pytest.fixture
+def img32(rng):
+    return jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+
+
+def _ref_step(carry, s, weight=1.0, threshold=0.0, soft=True):
+    @jax.jit
+    def step(v):
+        c_next = smooth(v, B3SPLINE, scale=s)
+        c = v - c_next
+        lp = smooth(c * c, B3SPLINE, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
+                                lp))
+        if threshold != 0:
+            if soft:
+                cm = c * jax.scipy.special.erf(jnp.abs(c / threshold))
+            else:
+                cm = c * (jnp.abs(c) > threshold).astype(c.dtype)
+        else:
+            cm = c
+        return cm * (weight / lp), c_next
+
+    return step(carry)
+
+
+@pytest.mark.parametrize("s", [6, 7])
+def test_deep_step_matches_xla(img32, s):
+    x = img32[None]
+    recon = jnp.zeros_like(x)
+    assert can_deep(x, B3SPLINE, s, None)
+    white, r_out, cn = deep_whiten_step(
+        x, recon, jnp.zeros((1,)), sf=B3SPLINE, scale=s, weight=1.0,
+        masked=False, interpret=True)
+    ref_w, ref_c = _ref_step(img32, s)
+    # carry chain: bitwise (it seeds all deeper scales)
+    assert np.array_equal(np.asarray(cn[0]), np.asarray(ref_c))
+    d = float(jnp.abs(white[0] - ref_w).max())
+    scale = float(jnp.abs(ref_w).max())
+    assert d < 5e-6 * max(scale, 1)
+    assert np.array_equal(np.asarray(r_out), np.asarray(white))
+
+
+def test_deep_step_masked_per_frame(rng):
+    stack = jnp.asarray(rng.normal(size=(2, 512, 512)).astype(np.float32))
+    recon = jnp.zeros_like(stack)
+    thr = jnp.asarray([0.5, 0.0], jnp.float32)
+    for soft in (True, False):
+        white, r_out, cn = deep_whiten_step(
+            stack, recon, thr, sf=B3SPLINE, scale=6, weight=2.0,
+            soft=soft, masked=True, interpret=True)
+        for b in range(2):
+            ref_w, ref_c = _ref_step(stack[b], 6, weight=2.0,
+                                     threshold=float(thr[b]), soft=soft)
+            assert np.array_equal(np.asarray(cn[b]), np.asarray(ref_c))
+            d = float(jnp.abs(white[b] - ref_w).max())
+            scale = float(jnp.abs(ref_w).max())
+            assert d < 5e-6 * max(scale, 1)
+
+
+def test_deep_step_write_plane_off(img32):
+    x = img32[None]
+    recon = jnp.zeros_like(x)
+    white, r_out, cn = deep_whiten_step(
+        x, recon, jnp.zeros((1,)), sf=B3SPLINE, scale=6, weight=1.0,
+        masked=False, write_plane=False, interpret=True)
+    assert white is None
+    w2, r2, c2 = deep_whiten_step(
+        x, recon, jnp.zeros((1,)), sf=B3SPLINE, scale=6, weight=1.0,
+        masked=False, write_plane=True, interpret=True)
+    assert np.array_equal(np.asarray(r_out), np.asarray(r2))
+    assert np.array_equal(np.asarray(cn), np.asarray(c2))
+
+
+def test_can_deep_dispatch():
+    x = jnp.zeros((1, 512, 512), jnp.float32)
+    assert can_deep(x, B3SPLINE, 6, None)
+    assert can_deep(x, B3SPLINE, 7, None)          # 2hw·D == H edge
+    assert not can_deep(x, B3SPLINE, 8, None)      # reflection > 1 bounce
+    assert not can_deep(x, B3SPLINE, 5, None)      # hw·D not lane-chunked
+    assert not can_deep(x, B3SPLINE, 6, (1.0,) * 7)  # bilateral chain
+    assert not can_deep(x.astype(jnp.float64), B3SPLINE, 6, None)
+    assert not can_deep(jnp.zeros((1, 500, 512), jnp.float32),
+                        B3SPLINE, 6, None)         # rows not tileable
+
+
+def test_wow_tail_deep(img32, monkeypatch):
+    """Full WOW body with a deferred tail spanning XLA-only scales
+    (s < 6) and fused deep scales (s ≥ 6) matches the materialized XLA
+    body."""
+    from wavelets_tpu.core.transform import decompose, decompose_pieces
+
+    monkeypatch.setattr(pallas_conv, "plan_groups",
+                        lambda H, w, level, hw, itemsize=4:
+                        ([(0, 2)], level - 2))
+    level = 8
+    pieces, layout, tail = decompose_pieces(
+        img32, level, B3SPLINE, use_pallas=True, defer_tail=True)
+    assert tail is not None and tail[1] == 6
+    zero = jnp.zeros((), jnp.float32)
+    dc = (5.0, 2.0) + (0.0,) * (level - 2) + (1.0,)
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, tail, zero, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dc, True)
+    planes = decompose(img32, level, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, zero, False, B3SPLINE, level, (1.0,) * (level + 1),
+        True, dc, False, True, False, 3.2, None, None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+def test_wow_tail_deep_batched(rng, monkeypatch):
+    """Batched (frame-stack) WOW body through the deep kernel computes
+    per-frame statistics, matching per-frame XLA bodies."""
+    from wavelets_tpu.core.transform import decompose, decompose_pieces
+
+    monkeypatch.setattr(pallas_conv, "plan_groups",
+                        lambda H, w, level, hw, itemsize=4:
+                        ([(0, 2)], level - 2))
+    stack = jnp.asarray(
+        rng.normal(size=(2, 512, 512)).astype(np.float32))
+    stack = stack * jnp.asarray([1.0, 2.5], jnp.float32)[:, None, None]
+    level = 7
+    pieces, layout, tail = decompose_pieces(
+        stack, level, B3SPLINE, axes=(1, 2), use_pallas=True,
+        defer_tail=True)
+    zero = jnp.zeros((2,), jnp.float32)
+    dc = (5.0, 2.0) + (0.0,) * (level - 2) + (1.0,)
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, tail, zero, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dc, True)
+    assert got_p.shape == (2, level + 1, 512, 512)
+    for b in range(2):
+        planes = decompose(stack[b], level, B3SPLINE, use_pallas=False)
+        ref_r, ref_p = W._wow_body(
+            planes, jnp.zeros(()), False, B3SPLINE, level,
+            (1.0,) * (level + 1), True, dc, False, True, False, 3.2,
+            None, None, 0.0, rops=W.VmapSafeReduceOps())
+        scale = float(jnp.max(jnp.abs(ref_r)))
+        assert float(jnp.max(jnp.abs(got_r[b] - ref_r))) < 5e-6 * scale
+        assert float(jnp.max(jnp.abs(got_p[b] - ref_p))) < 5e-6 * scale

@@ -193,12 +193,32 @@ def _wow_body_fused(
     # deferred tail scales: smooth carry chains in-register; the
     # difference, power smooth and whitening fuse per scale (the chain
     # smooth is bilateral when the transform is; the *power* smooth in
-    # whiten_detail stays plain, watroo/utils.py:194)
+    # whiten_detail stays plain, watroo/utils.py:194).  Plain deep
+    # scales dispatch to the fused Pallas step (ops/pallas_deep.py) —
+    # one launch per scale instead of ~4 XLA smooth passes; bilateral
+    # chains and infeasible geometries keep the XLA path.
     if tail is not None:
         from ..core.transform import _smooth_step
+        from ..ops import pallas_deep
 
         carry = tail[0]
+        interp = jax.default_backend() == "cpu"
         for s in range(tail_start, n_scales):
+            if pallas_deep.can_deep(carry, sf, s, bilateral):
+                carry_b = carry if batched else carry[None]
+                recon_b = recon if batched else recon[None]
+                thr = (denoise_coefficients[s]
+                       * float(sigma_e[s])) * noise32
+                white, recon_b, carry_b = pallas_deep.deep_whiten_step(
+                    carry_b, recon_b, thr,
+                    sf=sf, scale=s, weight=float(weights[s]),
+                    soft=soft_threshold,
+                    masked=denoise_coefficients[s] != 0,
+                    interpret=interp)
+                recon = recon_b if batched else recon_b[0]
+                carry = carry_b if batched else carry_b[0]
+                out_rows.append(white if batched else white[0])
+                continue
             c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                                   bilateral, bilateral_scaling)
             c = whiten_detail(carry - c_next, s)
