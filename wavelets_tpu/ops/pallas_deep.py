@@ -50,21 +50,20 @@ from .pallas_wow import _erf_pos
 
 __all__ = ["deep_whiten_step", "can_deep", "deep_block_rows"]
 
-#: VMEM budget for windows + temps (scoped limit is 16 MB; Mosaic
-#: elementwise temps count against it)
-_VMEM_BUDGET = 12 << 20
-
-#: conservative per-step footprint in (T·W) f32 buffers: 9 double-
-#: buffered input windows + recon in + 3 double-buffered outputs + ~8
-#: live elementwise temps
+#: VMEM ceiling for the per-step footprint in (T·W) f32 buffers: 9
+#: double-buffered input windows + recon in + 3 double-buffered outputs
+#: + live elementwise temps.  Calibrated on the v5e: (T·W) = 16·4096
+#: compiles inside the full WOW program; 32·4096 fits standalone but
+#: exceeds scoped VMEM (21 MB) when co-scheduled in the pipeline.
 _FOOTPRINT_BUFS = 34
+_VMEM_BUDGET = 12 << 20
 
 
 def deep_block_rows(H: int, W: int, D: int) -> int:
     """Largest feasible block height: divides the dilation and the image
     height (so row offsets are whole, reflection-aligned blocks), is a
     sublane-tiling multiple, and fits the VMEM budget.  0 = infeasible."""
-    for T in (32, 16):
+    for T in (32, 16, 8):
         if D % T or H % T:
             continue
         if _FOOTPRINT_BUFS * T * W * 4 <= _VMEM_BUDGET:
