@@ -1,0 +1,126 @@
+"""Merged decompose+whiten kernel (pallas_conv._fused_wow_group) and
+the merged WOW body, in interpreter mode on CPU.
+
+The carry row must be *bitwise* equal to the plain decompose path; the
+whitened rows are allowed one-ulp differences (rsqrt rewrites, A&S erf
+— the same standard as the fused whiten kernel)."""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavelets_tpu.core.transform import decompose
+from wavelets_tpu.ops import pallas_conv as PC
+from wavelets_tpu.ops.filters import B3SPLINE
+
+W = importlib.import_module("wavelets_tpu.models.wow")
+
+
+@pytest.fixture
+def img32(rng):
+    return jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+
+
+def test_plan_wow_groups_covers():
+    groups, covered = PC.plan_wow_groups(4096, 4096, 6, 2)
+    assert covered == 6
+    assert sum(g for _, g in groups) == 6
+    offs = [off for off, _ in groups]
+    assert offs == sorted(offs) and offs[0] == 0
+    # f64 is not kernel territory
+    assert PC.plan_wow_groups(4096, 4096, 6, 2, itemsize=8) == ([], 0)
+
+
+@pytest.mark.parametrize("off,g", [(0, 3), (3, 2), (5, 1)])
+def test_wow_group_matches_xla(img32, off, g):
+    # chain the carry to the group offset with the XLA engine
+    from wavelets_tpu.ops.conv import smooth
+
+    @jax.jit
+    def chain(v):
+        for s in range(off):
+            v = smooth(v, B3SPLINE, scale=s)
+        return v
+
+    cur = chain(img32)
+    planes_all = decompose(img32, off + g, B3SPLINE, use_pallas=False)
+    cube, acc = PC._fused_wow_group(
+        cur, jnp.ones((g,), jnp.float32), jnp.zeros((g,), jnp.float32),
+        g, B3SPLINE, offset=off, soft=True, masked=(False,) * g,
+        interpret=True)
+    ref_r, ref_p = W._wow_body(
+        planes_all, jnp.zeros(()), False, B3SPLINE, off + g,
+        (1.0,) * (off + g + 1), True, (0.0,) * (off + g) + (1.0,),
+        False, True, False, 3.2, None, None, 0.0)
+    scale = float(jnp.abs(ref_p).max())
+    for k in range(g):
+        d = float(jnp.abs(cube[k] - ref_p[off + k]).max())
+        assert d < 5e-6 * max(scale, 1), (k, d)
+    # carry row bitwise vs the decompose chain
+    assert np.array_equal(np.asarray(cube[g]),
+                          np.asarray(planes_all[off + g]))
+    d = float(jnp.abs(acc - jnp.sum(cube[:g], 0)).max())
+    assert d < 5e-6 * max(scale, 1)
+
+
+def test_wow_group_masked(img32):
+    g = 3
+    thr = jnp.asarray([0.5, 0.2, 0.0], jnp.float32)
+    for soft in (True, False):
+        cube, acc = PC._fused_wow_group(
+            img32, jnp.asarray([2.0, 1.0, 1.0], jnp.float32), thr, g,
+            B3SPLINE, offset=0, soft=soft, masked=(True, True, False),
+            interpret=True)
+        planes = decompose(img32, g, B3SPLINE, use_pallas=False)
+        from wavelets_tpu.ops.conv import smooth
+
+        for k, (w, t, m) in enumerate(
+                [(2.0, 0.5, True), (1.0, 0.2, True), (1.0, 0.0, False)]):
+            c = planes[k]
+            lp = smooth(c * c, B3SPLINE, scale=k)
+            lp = jnp.sqrt(jnp.where(lp <= 0,
+                                    jnp.asarray(1e-15, c.dtype), lp))
+            if m and t != 0:
+                if soft:
+                    c = c * jax.scipy.special.erf(jnp.abs(c / t))
+                else:
+                    c = c * (jnp.abs(c) > t).astype(c.dtype)
+            ref = c * (w / lp)
+            d = float(jnp.abs(cube[k] - ref).max())
+            scale = float(jnp.abs(ref).max())
+            assert d < 5e-6 * max(scale, 1), (k, soft, d)
+
+
+@pytest.mark.parametrize("level,dc", [
+    (6, None),                      # no denoise
+    (6, (5.0, 2.0)),                # lazy-noise denoise
+    (8, (5.0, 2.0)),                # deep tail through the deep kernel
+])
+def test_wow_body_merged_matches_xla(img32, level, dc):
+    dcoef = ((dc or ()) + (0.0,) * level)[:level] + (1.0,)
+    got_r, got_p = W._wow_body_merged(
+        img32, jnp.zeros(()), False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True)
+    planes = decompose(img32, level, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, jnp.zeros(()), False, B3SPLINE, level,
+        (1.0,) * (level + 1), True, dcoef, False, True, False, 3.2,
+        None, None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+def test_can_merge_dispatch():
+    x = jnp.zeros((512, 512), jnp.float32)
+    assert not W._can_merge_whiten(x, B3SPLINE, 6, lazy_masked=True)
+    assert not W._can_merge_whiten(
+        x.astype(jnp.float64), B3SPLINE, 6, lazy_masked=False)
+    assert not W._can_merge_whiten(
+        jnp.zeros((3, 512, 512), jnp.float32), B3SPLINE, 6,
+        lazy_masked=False)
+    # CPU backend always falls back (kernels run compiled on TPU only)
+    assert not W._can_merge_whiten(x, B3SPLINE, 6, lazy_masked=False)

@@ -112,6 +112,161 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
     return H % 256 == 0 and W % 256 == 0 and n_scales >= 1
 
 
+def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
+                      weights, denoise_coefficients, soft_threshold,
+                      sigma_e, sp_axes, batched,
+                      bilateral=None, bilateral_scaling=False):
+    """Whiten the deferred tail scales s = tail_start..n_scales−1 from
+    the smooth ``carry``: per scale, chain smooth + difference + power
+    smooth + significance + whiten, accumulating into ``recon``.  Plain
+    deep scales dispatch to the fused Pallas step (ops/pallas_deep.py)
+    — one launch per scale instead of ~4 XLA smooth passes; bilateral
+    chains and infeasible geometries run the XLA ops.  Returns
+    ``(rows, recon, residual_carry)``."""
+    from ..core.transform import _smooth_step
+    from ..ops import pallas_deep
+
+    interp = jax.default_backend() == "cpu"
+    noise_b = noise32[:, None, None] if batched else noise32
+    rows = []
+    for s in range(tail_start, n_scales):
+        if pallas_deep.can_deep(carry, sf, s, bilateral):
+            carry_b = carry if batched else carry[None]
+            recon_b = recon if batched else recon[None]
+            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            white, recon_b, carry_b = pallas_deep.deep_whiten_step(
+                carry_b, recon_b, thr,
+                sf=sf, scale=s, weight=float(weights[s]),
+                soft=soft_threshold,
+                masked=denoise_coefficients[s] != 0,
+                interpret=interp)
+            recon = recon_b if batched else recon_b[0]
+            carry = carry_b if batched else carry_b[0]
+            rows.append(white if batched else white[0])
+            continue
+        c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
+                              bilateral, bilateral_scaling)
+        c = carry - c_next
+        lp = smooth(c * c, sf, scale=s, axes=sp_axes)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
+                                lp))
+        if denoise_coefficients[s] != 0:
+            c = c * significance(c, denoise_coefficients[s], noise_b,
+                                 float(sigma_e[s]), soft_threshold)
+        c = c * (weights[s] / lp)
+        rows.append(c)
+        recon = recon + c
+        carry = c_next
+    return rows, recon, carry
+
+
+def _wow_body_merged(
+    data, noise, has_noise, sf, n_scales, weights,
+    denoise_coefficients, soft_threshold,
+):
+    """Single-frame WOW through the merged decompose+whiten kernel
+    (ops/pallas_conv.py ``_fused_wow_group``): whitened detail planes
+    come straight out of the decompose pass — the raw plane cube never
+    round-trips HBM.  Deep scales run the fused deep step; the residual
+    normalization stays in XLA.  Lazy MAD noise costs one extra XLA
+    smooth here (w₀ must exist *before* the first group so the
+    significance thresholds are known up front).  Numerics match
+    :func:`_wow_body_fused` (same kernels' fold order, same erf)."""
+    from ..ops import pallas_conv
+
+    interp = jax.default_backend() == "cpu"
+    H, W = data.shape
+    sigma_e = sf.sigma_e(2, False)
+    n_fast = min(n_scales, _deep_start(data, sf))
+    groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
+                                                  sf.half_width)
+    assert covered == n_fast  # guarded by _can_merge_whiten
+
+    if not has_noise and any(
+        d != 0 for d in denoise_coefficients[:n_scales]
+    ):
+        w0 = data - smooth(data, sf, scale=0)
+        noise = mad_noise(w0, float(sigma_e[0]))
+    noise32 = jnp.asarray(noise, jnp.float32)
+
+    out_rows = []
+    recon = None
+    cur = data
+    for off, g in groups:
+        fac = jnp.asarray([weights[off + k] for k in range(g)],
+                          jnp.float32)
+        thr = jnp.stack([
+            (denoise_coefficients[off + k] * float(sigma_e[off + k]))
+            * noise32
+            if denoise_coefficients[off + k] != 0
+            else jnp.zeros_like(noise32)
+            for k in range(g)])
+        masked = tuple(denoise_coefficients[off + k] != 0
+                       for k in range(g))
+        cube, acc = pallas_conv._fused_wow_group(
+            cur, fac, thr, g, sf, offset=off, soft=soft_threshold,
+            masked=masked, interpret=interp)
+        out_rows.extend(cube[k] for k in range(g))
+        cur = cube[g]
+        recon = acc if recon is None else recon + acc
+
+    rows, recon, residual = _deep_tail_scales(
+        cur, recon, noise32, sf, n_fast, n_scales, weights,
+        denoise_coefficients, soft_threshold, sigma_e, (0, 1),
+        batched=False)
+    out_rows.extend(rows)
+
+    lp = jnp.std(residual)
+    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
+    c = residual * (weights[n_scales] / lp)
+    out_rows.append(c)
+    recon = recon + c
+    return recon, jnp.stack(out_rows)
+
+
+def _deep_start(data, sf) -> int:
+    """First scale the deep-step kernel can own (static geometry): the
+    merged/whiten fast path covers scales below it."""
+    from ..ops import pallas_deep
+
+    s = 0
+    while not pallas_deep.can_deep(
+            data if data.ndim == 3 else data[None], sf, s, None):
+        s += 1
+        if s > 16:
+            return 16
+    return s
+
+
+def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool) -> bool:
+    """Merged decompose+whiten dispatch: single 2-D f32 frame on TPU
+    whose fast scales are fully coverable by whiten groups and whose
+    deep scales (if any) are all deep-step-feasible.  Lazy-noise
+    denoising keeps the kernel-pair path: the significance thresholds
+    would need w₀ *before* the first merged group, costing an extra
+    full-image smooth that eats the merge's gain (measured: lazy L6
+    8.0 ms merged vs 7.3 ms pair; known-noise 5.4 ms merged vs 6.5)."""
+    from ..ops import pallas_conv, pallas_deep
+
+    if lazy_masked:
+        return False
+    if data.ndim != 2 or data.dtype != jnp.float32:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    H, W = data.shape
+    ds = _deep_start(data, sf)
+    n_fast = min(n_scales, ds)
+    groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
+                                                  sf.half_width)
+    if covered != n_fast:
+        return False
+    for s in range(n_fast, n_scales):
+        if not pallas_deep.can_deep(data[None], sf, s, None):
+            return False
+    return True
+
+
 def _wow_body_fused(
     pieces, layout, tail, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold,
@@ -190,42 +345,16 @@ def _wow_body_fused(
         c = whiten_detail(plane(s), s)
         out_rows.append(c)
         recon = recon + c
-    # deferred tail scales: smooth carry chains in-register; the
-    # difference, power smooth and whitening fuse per scale (the chain
-    # smooth is bilateral when the transform is; the *power* smooth in
-    # whiten_detail stays plain, watroo/utils.py:194).  Plain deep
-    # scales dispatch to the fused Pallas step (ops/pallas_deep.py) —
-    # one launch per scale instead of ~4 XLA smooth passes; bilateral
-    # chains and infeasible geometries keep the XLA path.
+    # deferred tail scales: smooth carry chains without materializing
+    # unwhitened detail planes (the chain smooth is bilateral when the
+    # transform is; the *power* smooth stays plain, watroo/utils.py:194)
     if tail is not None:
-        from ..core.transform import _smooth_step
-        from ..ops import pallas_deep
-
-        carry = tail[0]
-        interp = jax.default_backend() == "cpu"
-        for s in range(tail_start, n_scales):
-            if pallas_deep.can_deep(carry, sf, s, bilateral):
-                carry_b = carry if batched else carry[None]
-                recon_b = recon if batched else recon[None]
-                thr = (denoise_coefficients[s]
-                       * float(sigma_e[s])) * noise32
-                white, recon_b, carry_b = pallas_deep.deep_whiten_step(
-                    carry_b, recon_b, thr,
-                    sf=sf, scale=s, weight=float(weights[s]),
-                    soft=soft_threshold,
-                    masked=denoise_coefficients[s] != 0,
-                    interpret=interp)
-                recon = recon_b if batched else recon_b[0]
-                carry = carry_b if batched else carry_b[0]
-                out_rows.append(white if batched else white[0])
-                continue
-            c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
-                                  bilateral, bilateral_scaling)
-            c = whiten_detail(carry - c_next, s)
-            out_rows.append(c)
-            recon = recon + c
-            carry = c_next
-        residual = carry
+        rows, recon, residual = _deep_tail_scales(
+            tail[0], recon, noise32, sf, tail_start, n_scales, weights,
+            denoise_coefficients, soft_threshold, sigma_e, sp_axes,
+            batched, bilateral=bilateral,
+            bilateral_scaling=bilateral_scaling)
+        out_rows.extend(rows)
     else:
         residual = plane(n_scales)
     # residual: global-std normalization (watroo/utils.py:185-191),
@@ -391,6 +520,13 @@ def wow_core(
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h > 0,
                                  bilateral is not None):
+        lazy_masked = not has_noise and any(
+            d != 0 for d in denoise_coefficients[:n_scales])
+        if bilateral is None and _can_merge_whiten(data, sf, n_scales,
+                                                   lazy_masked):
+            return _wow_body_merged(
+                data, noise, has_noise, sf, n_scales, weights,
+                denoise_coefficients, soft_threshold)
         pieces, layout, tail = decompose_pieces(
             data, n_scales, sf, axes=axes, bilateral=bilateral,
             bilateral_scaling=bilateral_scaling, defer_tail=True,

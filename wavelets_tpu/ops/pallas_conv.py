@@ -97,6 +97,16 @@ def _exact_dot_left(a, b):
     return dot(hi) + dot(mid) + dot(lo)
 
 
+def _erf_pos(x):
+    """erf for x ≥ 0 via Abramowitz & Stegun 7.1.26 (max abs error
+    1.5e-7 — below f32 visibility for the erf-based significance mask).
+    Mosaic has no erf lowering; this uses only exp and FMAs."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return 1.0 - poly * jnp.exp(-x * x)
+
+
 def _conv_pass_ref(src_ref, dst_ref, taps, d: int, axis: int):
     """One 1-D dilated conv pass between full-size VMEM refs via static
     slices; only the interior [hw·d, n−hw·d) of ``dst`` along ``axis`` is
@@ -139,10 +149,24 @@ def _aligned_halos(R: int) -> Tuple[int, int]:
 
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
-                 R: int, offset: int = 0):
+                 R: int, offset: int = 0, whiten=None):
+    """Decompose kernel, optionally with the WOW whitening stage fused
+    per scale (``whiten = (soft, masked_tuple)``): instead of the raw
+    detail plane, each output row is the *whitened* detail
+    ``(c·mask)·(w/sqrt(max(smooth_s(c²),1e-15)))`` and a partial
+    reconstruction accumulates — the raw plane cube never exists in HBM
+    (watroo/utils.py:174-203 fused into the decompose pass).  The halo
+    budget grows to R = hw·2^off·(3·2^(g−1)−1): each scale's power
+    smooth consumes one extra hw·d_s of margin on top of the chain."""
     Rr, Rc = _aligned_halos(R)
+    hw = (len(taps) - 1) // 2
 
-    def kernel(x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems):
+    def kernel(*refs):
+        if whiten is not None:
+            (fac_ref, thr_ref, x_hbm, out_ref, acc_ref,
+             bufs, tmp_ref, sm_ref, pw_ref, sems) = refs
+        else:
+            x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -179,6 +203,9 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
 
         Jr = _flip_mats(Rr, bufs.dtype)
         Jc = _flip_mats(Rc, bufs.dtype)
+        if whiten is not None:
+            soft, masked = whiten
+            acc = jnp.zeros((TH, TW), jnp.float32)
         # ping-pong refs: cur holds smooth_s, tmp the row pass, sm the
         # scale result; cur and sm swap roles each scale.  The DMA slot
         # buffer doubles as the first cur.
@@ -212,13 +239,39 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             d = 2 ** (s + offset)
             _conv_pass_ref(cur, tmp, taps, d, 0)
             _conv_pass_ref(tmp, sm, taps, d, 1)
-            # detail plane straight into the revolving output window
-            # (Mosaic overlaps the copy-out with the next step)
-            out_ref[s, 0] = (cur[Rr:Rr + TH, Rc:Rc + TW]
-                             - sm[Rr:Rr + TH, Rc:Rc + TW])
+            if whiten is None:
+                # detail plane straight into the revolving output window
+                # (Mosaic overlaps the copy-out with the next step)
+                out_ref[s, 0] = (cur[Rr:Rr + TH, Rc:Rc + TW]
+                                 - sm[Rr:Rr + TH, Rc:Rc + TW])
+            else:
+                # fused whiten: detail (with margin for the power conv —
+                # its window-edge reflection is inherited from cur's
+                # mirror, since reflection commutes with subtraction and
+                # squaring), local power smooth, significance, whiten
+                pw_ref[...] = cur[...] - sm[...]
+                wc = pw_ref[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
+                tmp[...] = pw_ref[...] * pw_ref[...]
+                _conv_pass_ref(tmp, cur, taps, d, 0)
+                _conv_pass_ref(cur, tmp, taps, d, 1)
+                lp = tmp[Rr:Rr + TH, Rc:Rc + TW].astype(jnp.float32)
+                lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+                if masked[s]:
+                    thr = thr_ref[s, b]
+                    safe_t = jnp.where(thr == 0, jnp.float32(1.0), thr)
+                    if soft:
+                        mask = _erf_pos(jnp.abs(wc) / safe_t)
+                    else:
+                        mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+                    wc = wc * jnp.where(thr == 0, jnp.float32(1.0), mask)
+                white = wc * (fac_ref[s] / lp)
+                out_ref[s, 0] = white.astype(out_ref.dtype)
+                acc = acc + white
             refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
             cur = refs[0]
         out_ref[level, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
+        if whiten is not None:
+            acc_ref[0] = acc.astype(acc_ref.dtype)
 
     return kernel
 
@@ -237,32 +290,40 @@ _XLA_SCALE_BYTES = 20.0
 
 
 def _vmem_bytes(TH: int, TW: int, level: int, R: int,
-                itemsize: int = 4) -> int:
+                itemsize: int = 4, whiten: bool = False) -> int:
     """VMEM footprint: input slots + tmp + sm working buffers (input
     dtype), Mosaic elementwise temps (always f32 — the conv passes
     accumulate in f32, so bf16 runs need twice the temp headroom
     relative to their buffers; measured 17 MB scoped at the old
-    accounting), plus the double-buffered revolving output window."""
+    accounting), plus the double-buffered revolving output window.
+    The fused-whiten variant adds the detail window buffer and the
+    (tiny) partial-recon output."""
     Rr, Rc = _aligned_halos(R)
     window = (TH + 2 * Rr) * (TW + 2 * Rc)
     buf = window * itemsize
     n_temps = 1 if itemsize == 4 else 2
+    n_work = N_SLOTS + 2 + (1 if whiten else 0)
     out_win = 2 * (level + 1) * TH * TW * itemsize
-    return (N_SLOTS + 2) * buf + n_temps * window * 4 + out_win
+    if whiten:
+        out_win += 2 * TH * TW * itemsize
+    return n_work * buf + n_temps * window * 4 + out_win
 
 
-def _group_cost(H, W, g, R, TH, TW, itemsize):
+def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
     """Cost model (seconds) for one fused group over the full image."""
     Rr, Rc = _aligned_halos(R)
     steps = (H // TH) * (W // TW)
     amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
-    bytes_ = H * W * itemsize * (amp + g + 1)
-    vpu = H * W * amp * g * 2 * 6  # 2 passes × ~6 VPU ops per tap fold
+    # whiten adds the partial-recon write and doubles the conv work
+    # (power smooth per scale)
+    bytes_ = H * W * itemsize * (amp + g + 1 + (1 if whiten else 0))
+    vpu = H * W * amp * g * (4 if whiten else 2) * 6
     return max(bytes_ / _BW, vpu / _VPU) + steps * _STEP_OVH
 
 
 def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
-                budget: int = 13 << 20) -> Optional[Tuple[int, int]]:
+                budget: int = 13 << 20,
+                whiten: bool = False) -> Optional[Tuple[int, int]]:
     """Cheapest feasible tile pair under the cost model."""
     cands = []
     for TH in (512, 256, 128):
@@ -273,10 +334,11 @@ def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                 continue
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
-            if _vmem_bytes(TH, TW, level, R, itemsize) <= budget:
+            if _vmem_bytes(TH, TW, level, R, itemsize,
+                           whiten) <= budget:
                 cands.append(
-                    (_group_cost(H, W, level, R, TH, TW, itemsize),
-                     TH, TW))
+                    (_group_cost(H, W, level, R, TH, TW, itemsize,
+                                 whiten), TH, TW))
     if not cands:
         return None
     _, TH, TW = min(cands)
@@ -353,6 +415,100 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
         interpret=interpret,
     )(xp)
     return out if batched else out[:, 0]
+
+
+def _wow_group_halo(hw: int, offset: int, g: int) -> int:
+    """Reach of a *whitening* group: each scale's power smooth consumes
+    an extra hw·d_s of margin on top of the chain creep; the max is at
+    the last scale: hw·2^offset·(3·2^(g−1) − 1)."""
+    return hw * (2 ** offset) * (3 * (2 ** (g - 1)) - 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "sf", "offset", "soft", "masked",
+                              "interpret"))
+def _fused_wow_group(x: jax.Array, factors: jax.Array,
+                     thresholds: jax.Array, g: int, sf: ScalingFunction,
+                     offset: int = 0, soft: bool = True,
+                     masked: Tuple[bool, ...] = (),
+                     interpret: bool = False):
+    """Fused decompose+whiten of ``g`` scales at dilation base
+    ``2^offset``: returns ``(cube (g+1, B, H, W), acc (B, H, W))`` where
+    rows 0..g−1 are *whitened* detail planes, row g the raw carry, and
+    ``acc`` the partial reconstruction Σ whitened.  The raw detail
+    planes never touch HBM.  f32 only (dispatch-gated)."""
+    batched = x.ndim == 3
+    xb = x if batched else x[None]
+    B, H, W = xb.shape
+    R = _wow_group_halo(sf.half_width, offset, g)
+    TH, TW = _plan_tiles(H, W, g, R, 4, whiten=True)
+    Rr, Rc = _aligned_halos(R)
+    xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
+    kernel = _make_kernel(g, sf.taps, TH, TW, R, offset,
+                          whiten=(soft, tuple(masked)))
+    grid = (B, H // TH, W // TW)
+    cube, acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((g + 1, B, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((g + 1, 1, TH, TW),
+                         lambda b, i, j: (0, b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
+        ],
+        interpret=interpret,
+    )(factors.astype(jnp.float32),
+      jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
+                       (g, B)),
+      xp)
+    if batched:
+        return cube, acc
+    return cube[:, 0], acc[0]
+
+
+def plan_wow_groups(H: int, W: int, level: int, hw: int,
+                    itemsize: int = 4):
+    """Partition whitening scales 0..level−1 into fused
+    decompose+whiten groups (same DP as :func:`plan_groups` with the
+    bigger whiten halo); returns ``(groups, covered)`` where groups is
+    a list of ``(offset, g)`` and covered is how many leading scales
+    the plan reaches (groups only beat the kernel-pair path while the
+    halo amplification stays bounded)."""
+    if itemsize != 4:
+        return [], 0
+    INF = float("inf")
+    best = [(0.0, None)] * (level + 1)
+    for s in range(level - 1, -1, -1):
+        cands = [(INF, None)]
+        for g in range(1, min(level - s, MAX_FUSED_LEVELS) + 1):
+            R = _wow_group_halo(hw, s, g)
+            tiles = _plan_tiles(H, W, g, R, itemsize, whiten=True)
+            if tiles is None:
+                continue
+            c = _group_cost(H, W, g, R, *tiles, itemsize, whiten=True)
+            if s + g < level:
+                c += 2 * H * W * itemsize / _BW
+            if best[s + g][0] < INF or s + g == level:
+                cands.append((c + best[s + g][0], g))
+        best[s] = min(cands, key=lambda t: t[0])
+    groups = []
+    s = 0
+    while s < level and best[s][1] is not None:
+        groups.append((s, best[s][1]))
+        s += best[s][1]
+    return groups, s
 
 
 def plan_groups(H: int, W: int, level: int, hw: int, itemsize: int = 4):

@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .filters import ScalingFunction
 from .pallas_conv import (
     _conv_pass_ref,
+    _erf_pos,
     _exact_dot,
     _exact_dot_left,
     _flip_mats,
@@ -63,16 +64,6 @@ R_COL = 128
 
 #: input DMA slots (prefetch depth for the per-scale plane windows)
 NSLOT = 3
-
-
-def _erf_pos(x):
-    """erf for x ≥ 0 via Abramowitz & Stegun 7.1.26 (max abs error
-    1.5e-7 — below f32 visibility for the erf-based significance mask).
-    Mosaic has no erf lowering; this uses only exp and FMAs."""
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return 1.0 - poly * jnp.exp(-x * x)
 
 
 def whiten_max_scale(sf: ScalingFunction, max_halo: int = R_COL) -> int:
