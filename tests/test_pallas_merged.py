@@ -124,3 +124,77 @@ def test_can_merge_dispatch():
         lazy_masked=False)
     # CPU backend always falls back (kernels run compiled on TPU only)
     assert not W._can_merge_whiten(x, B3SPLINE, 6, lazy_masked=False)
+
+
+def test_wow_body_fused_preserve_variance(img32):
+    """preserve_variance rides the fused whiten via runtime factors
+    (per-scale sqrt(mean(c²)) power norms)."""
+    from wavelets_tpu.core.transform import decompose_pieces
+
+    level = 4
+    dcoef = (5.0, 2.0, 0.0, 0.0, 1.0)
+    pieces, layout = decompose_pieces(img32, level, B3SPLINE,
+                                      use_pallas=True)
+    zero = jnp.zeros(())
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, None, zero, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True, preserve_variance=True)
+    planes = decompose(img32, level, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, zero, False, B3SPLINE, level, (1.0,) * (level + 1),
+        True, dcoef, False, True, True, 3.2, None, None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+@pytest.mark.parametrize("pv", [False, True])
+def test_wow_body_fused_gamma_blend(img32, pv):
+    """0 < h < 1 rides the fused whiten via the kernel's third
+    (masked-plane sum) accumulator; tone map applied on top."""
+    from wavelets_tpu.core.transform import decompose_pieces
+
+    level, h = 4, 0.4
+    dcoef = (5.0, 2.0, 0.0, 0.0, 1.0)
+    pieces, layout = decompose_pieces(img32, level, B3SPLINE,
+                                      use_pallas=True)
+    zero = jnp.zeros(())
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, None, zero, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True, preserve_variance=pv,
+        h=h, gamma=3.2)
+    planes = decompose(img32, level, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, zero, False, B3SPLINE, level, (1.0,) * (level + 1),
+        True, dcoef, False, True, pv, 3.2, None, None, h)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+def test_wow_body_fused_gamma_batched(rng):
+    """Batched gamma blend: per-frame tone-map bounds match a vmap of
+    the single-frame XLA body."""
+    from wavelets_tpu.core.transform import decompose_pieces
+
+    stack = jnp.asarray(rng.normal(size=(2, 256, 256)).astype(np.float32))
+    level, h = 3, 0.3
+    dcoef = (5.0, 2.0, 0.0, 1.0)
+    pieces, layout = decompose_pieces(stack, level, B3SPLINE,
+                                      axes=(1, 2), use_pallas=True)
+    noise = jnp.zeros((2,))
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, None, noise, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True, h=h, gamma=3.2)
+
+    def one(frame):
+        planes = decompose(frame, level, B3SPLINE, use_pallas=False)
+        return W._wow_body(
+            planes, jnp.zeros(()), False, B3SPLINE, level,
+            (1.0,) * (level + 1), True, dcoef, False, True, False,
+            3.2, None, None, h, rops=W.VmapSafeReduceOps())
+
+    ref_r, ref_p = jax.vmap(one)(stack)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)

@@ -79,12 +79,12 @@ _LOCAL_OPS = LocalReduceOps()
 
 
 def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
-                     gamma_active, bilateral):
+                     h, bilateral):
     """Fused Pallas whitening applies to the standard or bilateral
-    (optionally frame-batched) WOW: 2-D f32, whitening on, no gamma
-    blend, no variance preservation, tileable shape, on TPU.
-    Decidable from the raw input, *before* decomposition — wow_core
-    uses it to defer the deep-scale tail into the whitening loop.
+    (optionally frame-batched) WOW: 2-D f32, whitening on, tileable
+    shape, on TPU.  Decidable from the raw input, *before*
+    decomposition — wow_core uses it to defer the deep-scale tail into
+    the whitening loop.
 
     A 3-D input qualifies only as a frame *stack* (``axes == (1, 2)``);
     a 3-D volume (``axes`` covering all three) is a genuinely 3-D
@@ -92,10 +92,22 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
 
     Bilateral qualifies: the whitening math is identical (the power
     smooth is plain either way, watroo/utils.py:194) — only the σ_e
-    table differs, handled inside _wow_body_fused."""
+    table differs, handled inside _wow_body_fused.
+
+    ``preserve_variance`` qualifies single-frame: the per-scale
+    power-norm ``sqrt(mean(c²))`` (watroo/utils.py:178-184) folds into
+    the whiten kernel's runtime ``factors``; batched stacks would need
+    per-frame factors (the kernel's factor table is per-scale only).
+
+    Gamma blend (``0 < h < 1``) qualifies: the kernel's third
+    accumulator emits the masked-plane sum for the tone map.  ``h == 1``
+    skips whitening entirely (_wow_body's ``whitening and h < 1``
+    guard) — XLA path."""
     if jax.default_backend() == "cpu":
         return False
-    if not whitening or preserve_variance or gamma_active:
+    if not whitening or h >= 1:
+        return False
+    if preserve_variance and data.ndim != 2:
         return False
     # f32 only.  bf16 measured end-to-end (4k L6, v5e): pure XLA
     # 4.63 ms beats the hybrid XLA-decompose + Pallas-whiten 5.44 ms —
@@ -271,6 +283,8 @@ def _wow_body_fused(
     pieces, layout, tail, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold,
     bilateral=None, bilateral_scaling=False,
+    preserve_variance=False,
+    h=0.0, gamma=3.2, gamma_min=None, gamma_max=None,
 ):
     """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
     reading detail planes straight from the decompose group cubes
@@ -314,15 +328,35 @@ def _wow_body_fused(
         if denoise_coefficients[s] != 0 else jnp.zeros_like(noise32)
         for s in range(n_fast)
     ])
-    factors = jnp.asarray([weights[s] for s in range(n_fast)],
-                          jnp.float32)
-    whitened, partial = fused_whiten_pieces(
+    if preserve_variance:
+        # per-scale power norm sqrt(mean(c²)) folds into the kernel's
+        # runtime factor table (watroo/utils.py:178-184); requires
+        # materialized planes (wow_core passes defer_tail=False) and a
+        # single frame (factors are per-scale, not per-frame)
+        assert tail is None and not batched
+        factors = jnp.stack([
+            weights[s] * jnp.sqrt(jnp.mean(
+                plane(s).astype(jnp.float32) ** 2))
+            for s in range(n_fast)])
+    else:
+        factors = jnp.asarray([weights[s] for s in range(n_fast)],
+                              jnp.float32)
+    outs = fused_whiten_pieces(
         pieces_b, factors, thresholds, sf, n_fast,
         tuple(layout[:n_fast]), soft=soft_threshold,
         batch_major=batched,
         out_rows_total=n_scales + 1 if batched else 0,
+        write_gamma=h > 0,
         interpret=jax.default_backend() == "cpu")
+    whitened, partial = outs[0], outs[1]
     recon = partial if batched else partial[0]
+    if h > 0:
+        # gamma-blend input: masked-plane sum from the kernel's third
+        # accumulator; deep/residual contributions append below
+        assert tail is None, "gamma disables tail deferral (wow_core)"
+        gamma_scaled = outs[2] if batched else outs[2][0]
+    else:
+        gamma_scaled = None
 
     noise_b = noise[:, None, None] if batched else noise
 
@@ -330,10 +364,12 @@ def _wow_body_fused(
         lp = smooth(c * c, sf, scale=s, axes=sp_axes)
         lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
                                 lp))
+        pn = (jnp.sqrt(jnp.mean(c * c)) if preserve_variance
+              else jnp.asarray(1.0, c.dtype))
         if denoise_coefficients[s] != 0:
             c = c * significance(c, denoise_coefficients[s], noise_b,
                                  float(sigma_e[s]), soft_threshold)
-        return c * (weights[s] / lp)
+        return c * (weights[s] * pn / lp), c
 
     # batched: whitened is already (B, n_fast, H, W) batch-major; only
     # the deep/tail/residual rows are collected and concatenated, so
@@ -342,9 +378,11 @@ def _wow_body_fused(
                                    for s in range(n_fast)]
     # materialized deep scales: XLA path (halo exceeds the VMEM window)
     for s in range(n_fast, tail_start):
-        c = whiten_detail(plane(s), s)
+        c, masked = whiten_detail(plane(s), s)
         out_rows.append(c)
         recon = recon + c
+        if gamma_scaled is not None:
+            gamma_scaled = gamma_scaled + masked
     # deferred tail scales: smooth carry chains without materializing
     # unwhitened detail planes (the chain smooth is bilateral when the
     # transform is; the *power* smooth stays plain, watroo/utils.py:194)
@@ -364,9 +402,27 @@ def _wow_body_fused(
     else:
         lp = jnp.std(residual)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
-    c = residual * (weights[n_scales] / lp)
+    # residual power norm is the (unclamped) std (watroo/utils.py:182)
+    pn = (jnp.std(residual) if preserve_variance
+          else jnp.asarray(1.0, residual.dtype))
+    c = residual * (weights[n_scales] * pn / lp)
     out_rows.append(c)
     recon = recon + c
+    if gamma_scaled is not None:
+        # gamma-blend tone mapping (watroo/utils.py:205-217): the raw
+        # residual joins the masked-plane sum, then the normalized
+        # gamma stretch blends with the whitened reconstruction
+        gamma_scaled = gamma_scaled + residual
+        gax = (-2, -1) if batched else None
+        gmin = (jnp.min(gamma_scaled, axis=gax, keepdims=batched)
+                if gamma_min is None
+                else jnp.asarray(gamma_min, recon.dtype))
+        gmax = (jnp.max(gamma_scaled, axis=gax, keepdims=batched)
+                if gamma_max is None
+                else jnp.asarray(gamma_max, recon.dtype))
+        gs = (gamma_scaled - gmin) / (gmax - gmin)
+        gs = jnp.clip(gs, 0.0, 1.0) ** (1.0 / gamma)
+        recon = (1 - h) * recon + h * gs
     # the (n_scales+1) cube only materializes if the caller consumes it
     # (XLA dead-code-eliminates the stack on recon-only serving paths);
     # batched output is (B, n_scales+1, H, W), matching a vmap of
@@ -518,23 +574,34 @@ def wow_core(
     # amplification makes it VPU-bound.  Removed in round 2 (git
     # history: ops/pallas_mega.py); see DESIGN.md for the analysis.
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
-                                 preserve_variance, h > 0,
+                                 preserve_variance, h,
                                  bilateral is not None):
         lazy_masked = not has_noise and any(
             d != 0 for d in denoise_coefficients[:n_scales])
-        if bilateral is None and _can_merge_whiten(data, sf, n_scales,
-                                                   lazy_masked):
+        if (bilateral is None and not preserve_variance and h == 0
+                and _can_merge_whiten(data, sf, n_scales, lazy_masked)):
             return _wow_body_merged(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold)
-        pieces, layout, tail = decompose_pieces(
-            data, n_scales, sf, axes=axes, bilateral=bilateral,
-            bilateral_scaling=bilateral_scaling, defer_tail=True,
-        )
+        # preserve_variance / gamma blend need the materialized planes
+        # (per-scale mean power feeds the kernel's factor table; the
+        # gamma accumulator covers kernel scales only) — no deferral
+        if preserve_variance or h > 0:
+            pieces, layout = decompose_pieces(
+                data, n_scales, sf, axes=axes, bilateral=bilateral,
+                bilateral_scaling=bilateral_scaling)
+            tail = None
+        else:
+            pieces, layout, tail = decompose_pieces(
+                data, n_scales, sf, axes=axes, bilateral=bilateral,
+                bilateral_scaling=bilateral_scaling, defer_tail=True,
+            )
         return _wow_body_fused(
             pieces, layout, tail, noise, has_noise, sf, n_scales,
             weights, denoise_coefficients, soft_threshold,
             bilateral=bilateral, bilateral_scaling=bilateral_scaling,
+            preserve_variance=preserve_variance,
+            h=h, gamma=gamma, gamma_min=gamma_min, gamma_max=gamma_max,
         )
     pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
@@ -770,7 +837,7 @@ def wow_stack(data, noise=None, **kwargs):
 
     if _can_fuse_whiten(data, (1, 2), statics["n_scales"],
                         statics["whitening"],
-                        statics["preserve_variance"], h > 0,
+                        statics["preserve_variance"], h,
                         statics["bilateral"] is not None):
         # batched Pallas fast path: the fused kernels carry the frame
         # dimension on a leading grid axis (no vmap, no per-frame
@@ -778,8 +845,9 @@ def wow_stack(data, noise=None, **kwargs):
         return wow_core(data, noise_arr, axes=(1, 2), fuse=True,
                         **statics)
 
-    # fallback (gamma blend / CPU / odd shapes): per-frame vmap of the
-    # XLA path (Pallas kernels cannot run under vmap)
+    # fallback (h >= 1 / preserve_variance / CPU / odd shapes):
+    # per-frame vmap of the XLA path (Pallas kernels cannot run under
+    # vmap)
     fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
                   in_axes=(0, 0))
     return fn(data, noise_arr)

@@ -106,7 +106,8 @@ def _axis_cases(n_tiles: int, T: int, R: int, total: int):
 def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
                         TH: int, TW: int, ni: int, nj: int,
                         halos, layout, soft: bool, write_planes: bool,
-                        n_pieces: int, batch_major: bool = False):
+                        n_pieces: int, batch_major: bool = False,
+                        write_gamma: bool = False):
     hw = (len(taps) - 1) // 2
 
     def kernel(*refs):
@@ -114,8 +115,16 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
         pieces = refs[2:2 + n_pieces]
         out_idx = 2 + n_pieces
         recon_ref = refs[out_idx]
-        planes_ref = refs[out_idx + 1] if write_planes else None
-        scratch0 = out_idx + (2 if write_planes else 1)
+        n_out = 1
+        planes_ref = None
+        if write_planes:
+            planes_ref = refs[out_idx + n_out]
+            n_out += 1
+        gamma_ref = None
+        if write_gamma:
+            gamma_ref = refs[out_idx + n_out]
+            n_out += 1
+        scratch0 = out_idx + n_out
         bufs, t1, sems = refs[scratch0:scratch0 + 3]
 
         b = pl.program_id(0)
@@ -196,6 +205,7 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
             win_dma_do(s, s, "start")
 
         acc = jnp.zeros((TH, TW), jnp.float32)
+        gacc = jnp.zeros((TH, TW), jnp.float32) if write_gamma else None
         for s in range(n_fast):
             slot = s % NSLOT
             win_dma_do(slot, s, "wait")
@@ -224,8 +234,13 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
             else:
                 mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
             mask = jnp.where(thr == 0, jnp.float32(1.0), mask)
-            white = wc * mask * (fac_ref[s] / lp)
+            masked = wc * mask
+            white = masked * (fac_ref[s] / lp)
             acc = acc + white
+            if write_gamma:
+                # gamma-blend input: masked but unweighted/unwhitened
+                # plane sum (watroo/utils.py:204-205)
+                gacc = gacc + masked
             if write_planes:
                 if batch_major:
                     planes_ref[0, s] = white.astype(planes_ref.dtype)
@@ -235,6 +250,8 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
                 win_dma_do(slot, s + NSLOT, "start")
 
         recon_ref[0] = acc.astype(recon_ref.dtype)
+        if write_gamma:
+            gamma_ref[0] = gacc.astype(gamma_ref.dtype)
 
     return kernel
 
@@ -242,7 +259,8 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
 @functools.partial(
     jax.jit,
     static_argnames=("sf", "n_fast", "layout", "soft", "write_planes",
-                     "batch_major", "out_rows_total", "interpret"))
+                     "batch_major", "out_rows_total", "write_gamma",
+                     "interpret"))
 def fused_whiten_pieces(
     pieces,
     factors: jax.Array,
@@ -254,6 +272,7 @@ def fused_whiten_pieces(
     write_planes: bool = True,
     batch_major: bool = False,
     out_rows_total: int = 0,
+    write_gamma: bool = False,
     interpret: bool = False,
 ):
     """Whiten detail scales 0..n_fast−1 read from decompose *pieces*.
@@ -271,7 +290,13 @@ def fused_whiten_pieces(
     ``(B, out_rows_total, H, W)`` with rows ≥ n_fast left
     *uninitialized* — the caller fills them with in-place
     ``dynamic_update_slice`` (deep/residual rows), avoiding a full-cube
-    concat copy."""
+    concat copy.
+
+    ``write_gamma=True`` adds a third output ``(B, H, W)``: the sum of
+    the *masked but unweighted/unwhitened* detail planes — the
+    gamma-blend tone-map input (watroo/utils.py:204-205) — accumulated
+    in VMEM alongside the whitened partial, so a gamma-blend WOW costs
+    one extra output write instead of an extra cube read."""
     _, B, H, W = pieces[0].shape
     halos = tuple(_row_halo(sf, s) for s in range(n_fast))
     assert all(sf.half_width * 2 ** s <= R_COL for s in range(n_fast)), \
@@ -286,7 +311,7 @@ def fused_whiten_pieces(
 
     kernel = _make_whiten_kernel(
         n_fast, sf.taps, TH, TW, ni, nj, halos, layout, soft,
-        write_planes, len(pieces), batch_major)
+        write_planes, len(pieces), batch_major, write_gamma)
     grid = (B, ni, nj)
 
     out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
@@ -309,6 +334,11 @@ def fused_whiten_pieces(
             pl.BlockSpec((n_fast, 1, TH, TW),
                          lambda b, i, j: (0, b, i, j),
                          memory_space=pltpu.VMEM))
+    if write_gamma:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, W), dt))
+        out_specs.append(
+            pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         kernel,
@@ -329,7 +359,9 @@ def fused_whiten_pieces(
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(n_fast, -1),
                        (n_fast, B)),
       *pieces)
-    if write_planes:
-        recon, planes = outs
-        return planes, recon
-    return None, outs
+    outs = list(outs)
+    recon = outs.pop(0)
+    planes = outs.pop(0) if write_planes else None
+    if write_gamma:
+        return planes, recon, outs.pop(0)
+    return planes, recon
