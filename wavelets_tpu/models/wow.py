@@ -678,6 +678,9 @@ def wow(data,
         if not isinstance(data, (np.ndarray, jax.Array)):
             # parity with watroo/utils.py:133
             raise ValueError("Unknown input type")
+        if data.ndim not in (2, 3):
+            # parity with watroo/utils.py:52
+            raise ValueError("Unsupported number of dimensions")
         data = _as_device_array(data)
         spec = _spec_of(scaling_function)
         # auto scale count (watroo/utils.py:122-127)

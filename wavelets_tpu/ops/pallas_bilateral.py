@@ -359,7 +359,7 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((level + 1, B, H, W), dt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (level + 1, 1, TH, TW),
             lambda b, i, j: (0, b, i, j),

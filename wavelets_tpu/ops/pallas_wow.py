@@ -347,7 +347,7 @@ def fused_whiten_pieces(
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM),
              pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(pieces)),
+            + [pl.BlockSpec(memory_space=pl.ANY)] * len(pieces)),
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((NSLOT, TH + 2 * Rmax, TW + 2 * R_COL), dt),
