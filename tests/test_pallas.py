@@ -192,3 +192,43 @@ def test_fused_bf16_matches_xla_bf16(rng):
     d = np.abs(np.asarray(got.astype(jnp.float32))
                - np.asarray(ref.astype(jnp.float32))).max()
     assert d < 0.05
+
+
+def test_fused_column_reuse(rng):
+    """Widths that force several column tiles exercise the edge-save
+    column-halo reuse path (interior tiles DMA only fresh columns);
+    the assembled window must be byte-identical to the full fetch."""
+    x = jnp.asarray(rng.normal(size=(512, 1536)).astype(np.float32))
+    ref = decompose(x, 5, B3SPLINE, use_pallas=False)
+    got = pallas_conv._fused_group(x, 5, B3SPLINE, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_wow_column_reuse(rng):
+    """Merged decompose+whiten group over several column tiles."""
+    from wavelets_tpu.ops.conv import smooth
+
+    x = jnp.asarray(rng.normal(size=(512, 1536)).astype(np.float32))
+    g = 4
+    factors = jnp.ones((g,), jnp.float32)
+    thresholds = jnp.zeros((g,), jnp.float32)
+    cube, acc = pallas_conv._fused_wow_group(
+        x, factors, thresholds, g, B3SPLINE, masked=(False,) * g,
+        interpret=True)
+    planes = decompose(x, g, B3SPLINE, use_pallas=False)
+    want_white = []
+    cur = x
+    for s in range(g):
+        sm = smooth(cur, B3SPLINE, scale=s)
+        w = cur - sm
+        lp = smooth(w * w, B3SPLINE, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, 1e-15, lp))
+        want_white.append(w / lp)
+        cur = sm
+    got_carry = np.asarray(cube[g])
+    assert np.array_equal(got_carry, np.asarray(planes[g]))
+    for s in range(g):
+        d = np.abs(np.asarray(cube[s]) - np.asarray(want_white[s]))
+        assert d.max() < 1e-5, (s, d.max())
+    accd = np.abs(np.asarray(acc) - np.asarray(sum(want_white)))
+    assert accd.max() < 1e-5

@@ -198,3 +198,21 @@ def test_wow_body_fused_gamma_batched(rng):
     scale = float(jnp.max(jnp.abs(ref_r)))
     assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
     assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+def test_merged_need_planes_recon_bitwise(rng):
+    """Serving mode (need_planes=False) must not change the
+    reconstruction: same tile plans, same fold order — only the plane
+    cube writes are skipped."""
+    x = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+    noise = jnp.ones((), jnp.float32)
+    kw = dict(sf=B3SPLINE, n_scales=6,
+              weights=(1.0,) * 7,
+              denoise_coefficients=(5.0, 2.0) + (0.0,) * 4 + (1.0,),
+              soft_threshold=True)
+    r1, cube = W._wow_body_merged(x, noise, True, **kw)
+    r2, none = W._wow_body_merged(x, noise, True, need_planes=False,
+                                  **kw)
+    assert none is None
+    assert cube.shape[0] == 7
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))

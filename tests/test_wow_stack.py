@@ -46,3 +46,20 @@ def test_rejects_non_stack(rng):
 def test_rejects_unknown_kwarg(stack):
     with pytest.raises(TypeError):
         wow_stack(stack, nonsense=1)
+
+
+def test_wow_stack_no_coefficients(rng):
+    """with_coefficients=False returns (recon, None) with recon equal
+    to the coefficient-bearing call.  (On the CPU fallback the no-cube
+    variant runs under jit while the cube-bearing one is eager, so
+    equality is to f32 fusion tolerance; the Pallas paths are bitwise —
+    see test_pallas_merged.test_merged_need_planes_recon_bitwise.)"""
+    stack = jnp.asarray(
+        rng.normal(size=(2, 256, 256)).astype(np.float32))
+    r1, planes = wow_stack(stack, denoise_coefficients=[5, 2])
+    r2, none = wow_stack(stack, denoise_coefficients=[5, 2],
+                         with_coefficients=False)
+    assert none is None
+    assert planes is not None
+    d = np.abs(np.asarray(r1) - np.asarray(r2)).max()
+    assert d < 1e-5, d

@@ -58,7 +58,10 @@ def process_stack(
                     pad = np.repeat(host[-1:], batch - len(idx), axis=0)
                     host = np.concatenate([host, pad], axis=0)
                 dev = jnp.asarray(host)
-                recon, _ = wow_stack(dev, **wow_kwargs)
+                # coefficients are never kept here: skip their HBM
+                # writes entirely (wow_stack with_coefficients=False)
+                recon, _ = wow_stack(dev, with_coefficients=False,
+                                     **wow_kwargs)
                 if pending is not None:
                     prev, n_valid = pending
                     np.asarray(prev[:n_valid]).tofile(out_f)

@@ -127,7 +127,8 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
 def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
                       weights, denoise_coefficients, soft_threshold,
                       sigma_e, sp_axes, batched,
-                      bilateral=None, bilateral_scaling=False):
+                      bilateral=None, bilateral_scaling=False,
+                      write_planes=True):
     """Whiten the deferred tail scales s = tail_start..n_scales−1 from
     the smooth ``carry``: per scale, chain smooth + difference + power
     smooth + significance + whiten, accumulating into ``recon``.  Plain
@@ -151,10 +152,12 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
                 sf=sf, scale=s, weight=float(weights[s]),
                 soft=soft_threshold,
                 masked=denoise_coefficients[s] != 0,
+                write_plane=write_planes,
                 interpret=interp)
             recon = recon_b if batched else recon_b[0]
             carry = carry_b if batched else carry_b[0]
-            rows.append(white if batched else white[0])
+            if write_planes:
+                rows.append(white if batched else white[0])
             continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                               bilateral, bilateral_scaling)
@@ -166,7 +169,8 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             c = c * significance(c, denoise_coefficients[s], noise_b,
                                  float(sigma_e[s]), soft_threshold)
         c = c * (weights[s] / lp)
-        rows.append(c)
+        if write_planes:
+            rows.append(c)
         recon = recon + c
         carry = c_next
     return rows, recon, carry
@@ -174,7 +178,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
 
 def _wow_body_merged(
     data, noise, has_noise, sf, n_scales, weights,
-    denoise_coefficients, soft_threshold,
+    denoise_coefficients, soft_threshold, need_planes=True,
 ):
     """Single-frame WOW through the merged decompose+whiten kernel
     (ops/pallas_conv.py ``_fused_wow_group``): whitened detail planes
@@ -217,15 +221,16 @@ def _wow_body_merged(
                        for k in range(g))
         cube, acc = pallas_conv._fused_wow_group(
             cur, fac, thr, g, sf, offset=off, soft=soft_threshold,
-            masked=masked, interpret=interp)
-        out_rows.extend(cube[k] for k in range(g))
-        cur = cube[g]
+            masked=masked, need_cube=need_planes, interpret=interp)
+        if need_planes:
+            out_rows.extend(cube[k] for k in range(g))
+        cur = cube[g if need_planes else 0]
         recon = acc if recon is None else recon + acc
 
     rows, recon, residual = _deep_tail_scales(
         cur, recon, noise32, sf, n_fast, n_scales, weights,
         denoise_coefficients, soft_threshold, sigma_e, (0, 1),
-        batched=False)
+        batched=False, write_planes=need_planes)
     out_rows.extend(rows)
 
     lp = jnp.std(residual)
@@ -233,6 +238,8 @@ def _wow_body_merged(
     c = residual * (weights[n_scales] / lp)
     out_rows.append(c)
     recon = recon + c
+    if not need_planes:
+        return recon, None
     return recon, jnp.stack(out_rows)
 
 
@@ -285,6 +292,7 @@ def _wow_body_fused(
     bilateral=None, bilateral_scaling=False,
     preserve_variance=False,
     h=0.0, gamma=3.2, gamma_min=None, gamma_max=None,
+    need_planes=True,
 ):
     """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
     reading detail planes straight from the decompose group cubes
@@ -347,6 +355,7 @@ def _wow_body_fused(
         batch_major=batched,
         out_rows_total=n_scales + 1 if batched else 0,
         write_gamma=h > 0,
+        write_planes=need_planes,
         interpret=jax.default_backend() == "cpu")
     whitened, partial = outs[0], outs[1]
     recon = partial if batched else partial[0]
@@ -374,12 +383,13 @@ def _wow_body_fused(
     # batched: whitened is already (B, n_fast, H, W) batch-major; only
     # the deep/tail/residual rows are collected and concatenated, so
     # the fast planes never relayout
-    out_rows = [] if batched else [whitened[s, 0]
-                                   for s in range(n_fast)]
+    out_rows = [] if (batched or not need_planes) else [
+        whitened[s, 0] for s in range(n_fast)]
     # materialized deep scales: XLA path (halo exceeds the VMEM window)
     for s in range(n_fast, tail_start):
         c, masked = whiten_detail(plane(s), s)
-        out_rows.append(c)
+        if need_planes:
+            out_rows.append(c)
         recon = recon + c
         if gamma_scaled is not None:
             gamma_scaled = gamma_scaled + masked
@@ -391,7 +401,8 @@ def _wow_body_fused(
             tail[0], recon, noise32, sf, tail_start, n_scales, weights,
             denoise_coefficients, soft_threshold, sigma_e, sp_axes,
             batched, bilateral=bilateral,
-            bilateral_scaling=bilateral_scaling)
+            bilateral_scaling=bilateral_scaling,
+            write_planes=need_planes)
         out_rows.extend(rows)
     else:
         residual = plane(n_scales)
@@ -406,7 +417,8 @@ def _wow_body_fused(
     pn = (jnp.std(residual) if preserve_variance
           else jnp.asarray(1.0, residual.dtype))
     c = residual * (weights[n_scales] * pn / lp)
-    out_rows.append(c)
+    if need_planes:
+        out_rows.append(c)
     recon = recon + c
     if gamma_scaled is not None:
         # gamma-blend tone mapping (watroo/utils.py:205-217): the raw
@@ -427,6 +439,8 @@ def _wow_body_fused(
     # (XLA dead-code-eliminates the stack on recon-only serving paths);
     # batched output is (B, n_scales+1, H, W), matching a vmap of
     # single-frame calls
+    if not need_planes:
+        return recon, None
     if batched:
         # the kernel sized the cube (B, n_scales+1, H, W) and wrote the
         # fast rows; deep/residual rows drop in via in-place
@@ -563,10 +577,15 @@ def wow_core(
     has_noise: bool,
     axes: Optional[Tuple[int, ...]] = None,
     fuse: bool = True,
+    need_planes: bool = True,
 ):
     """Fused decomposition + whitening from a raw image.  Returns
     ``(recon, planes)``.  ``fuse=False`` disables the Pallas fast paths
-    (required under vmap)."""
+    (required under vmap).  ``need_planes=False`` (serving paths that
+    discard the coefficients) skips the whitened plane-cube HBM writes
+    where the kernels support it and returns ``(recon, None)``; the
+    reconstruction is bitwise-identical either way (same tile plans,
+    same fold order)."""
     # NB: a fully-fused single-pass WOW kernel (decompose + power
     # smooth + whiten in one launch) was built, verified, and measured
     # ~60% SLOWER than the decompose+whiten kernel pair on v5e: its
@@ -582,7 +601,8 @@ def wow_core(
                 and _can_merge_whiten(data, sf, n_scales, lazy_masked)):
             return _wow_body_merged(
                 data, noise, has_noise, sf, n_scales, weights,
-                denoise_coefficients, soft_threshold)
+                denoise_coefficients, soft_threshold,
+                need_planes=need_planes)
         # preserve_variance / gamma blend need the materialized planes
         # (per-scale mean power feeds the kernel's factor table; the
         # gamma accumulator covers kernel scales only) — no deferral
@@ -602,6 +622,7 @@ def wow_core(
             bilateral=bilateral, bilateral_scaling=bilateral_scaling,
             preserve_variance=preserve_variance,
             h=h, gamma=gamma, gamma_min=gamma_min, gamma_max=gamma_max,
+            need_planes=need_planes,
         )
     pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
@@ -764,12 +785,18 @@ def wow(data,
     return recon, coeffs
 
 
-def wow_stack(data, noise=None, **kwargs):
+def wow_stack(data, noise=None, with_coefficients=True, **kwargs):
     """Per-frame WOW over a frame stack (B, H, W) — the batched 4k-frames
     serving path.  Statistics (MAD noise, residual std, gamma bounds) are
     computed per frame (``vmap``), matching a loop of single-frame
     :func:`wow` calls.  Returns ``(recon (B, H, W), planes
     (B, n_scales+1, H, W))``.
+
+    ``with_coefficients=False`` skips materializing the plane cube in
+    HBM (the fused kernels drop their plane writes; the reconstruction
+    is unchanged) and returns ``(recon, None)`` — the fast mode for
+    serving pipelines that only keep the enhanced frames
+    (:func:`wavelets_tpu.models.pipeline.process_stack`).
 
     Accepts the same keyword arguments as :func:`wow` (except
     ``n_scales`` auto-derivation uses the frame shape).  For multi-chip
@@ -846,11 +873,15 @@ def wow_stack(data, noise=None, **kwargs):
         # dimension on a leading grid axis (no vmap, no per-frame
         # dispatch); statistics are per frame inside _wow_body_fused
         return wow_core(data, noise_arr, axes=(1, 2), fuse=True,
-                        **statics)
+                        need_planes=with_coefficients, **statics)
 
     # fallback (h >= 1 / preserve_variance / CPU / odd shapes):
     # per-frame vmap of the XLA path (Pallas kernels cannot run under
     # vmap)
     fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
                   in_axes=(0, 0))
-    return fn(data, noise_arr)
+    if with_coefficients:
+        return fn(data, noise_arr)
+    # jit so XLA dead-code-eliminates the unused plane cube
+    recon = jax.jit(lambda d, nz: fn(d, nz)[0])(data, noise_arr)
+    return recon, None

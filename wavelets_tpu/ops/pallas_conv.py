@@ -149,13 +149,16 @@ def _aligned_halos(R: int) -> Tuple[int, int]:
 
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
-                 R: int, offset: int = 0, whiten=None):
+                 R: int, offset: int = 0, whiten=None,
+                 reuse: bool = False):
     """Decompose kernel, optionally with the WOW whitening stage fused
-    per scale (``whiten = (soft, masked_tuple)``): instead of the raw
-    detail plane, each output row is the *whitened* detail
+    per scale (``whiten = (soft, masked_tuple, planes)``): instead of
+    the raw detail plane, each output row is the *whitened* detail
     ``(c·mask)·(w/sqrt(max(smooth_s(c²),1e-15)))`` and a partial
     reconstruction accumulates — the raw plane cube never exists in HBM
-    (watroo/utils.py:174-203 fused into the decompose pass).  The halo
+    (watroo/utils.py:174-203 fused into the decompose pass).  With
+    ``planes=False`` only the final carry row is emitted (serving paths
+    that discard coefficients skip g plane writes per group).  The halo
     budget grows to R = hw·2^off·(3·2^(g−1)−1): each scale's power
     smooth consumes one extra hw·d_s of margin on top of the chain."""
     Rr, Rc = _aligned_halos(R)
@@ -164,9 +167,16 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
     def kernel(*refs):
         if whiten is not None:
             (fac_ref, thr_ref, x_hbm, out_ref, acc_ref,
-             bufs, tmp_ref, sm_ref, pw_ref, sems) = refs
+             bufs, tmp_ref, sm_ref, pw_ref) = refs[:9]
+            rest = refs[9:]
         else:
-            x_hbm, out_ref, bufs, tmp_ref, sm_ref, sems = refs
+            x_hbm, out_ref, bufs, tmp_ref, sm_ref = refs[:5]
+            rest = refs[5:]
+        if reuse:
+            edge_ref, sems, lsems = rest
+        else:
+            (sems,) = rest
+            edge_ref = lsems = None
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -176,35 +186,95 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
         step = (b * ni + i) * nj + j
         slot = step % N_SLOTS
 
-        def in_dma(st, which):
+        def _coords(which):
             bb = which // (ni * nj)
             rem = which % (ni * nj)
-            ii = rem // nj
-            jj = rem % nj
+            return bb, rem // nj, rem % nj
+
+        def in_dma(st, which):
+            bb, ii, jj = _coords(which)
             return pltpu.make_async_copy(
                 x_hbm.at[bb,
                          pl.ds(ii * TH, TH + 2 * Rr),
                          pl.ds(jj * TW, TW + 2 * Rc)],
                 bufs.at[st], sems.at[st])
 
+        # column-halo reuse: tile j+1's window overlaps tile j's by 2Rc
+        # columns (pristine input — saved before compute trashes the
+        # buffer), so interior tiles DMA only the TW fresh columns; the
+        # left 2Rc come from the previous step's edge save.  Band
+        # starts (j == 0) additionally fetch the left strip.
+        def fresh_dma(st, which):
+            bb, ii, jj = _coords(which)
+            return pltpu.make_async_copy(
+                x_hbm.at[bb,
+                         pl.ds(ii * TH, TH + 2 * Rr),
+                         pl.ds(jj * TW + 2 * Rc, TW)],
+                bufs.at[st, :, 2 * Rc:TW + 2 * Rc], sems.at[st])
+
+        def left_dma(st, which):
+            bb, ii, jj = _coords(which)
+            return pltpu.make_async_copy(
+                x_hbm.at[bb,
+                         pl.ds(ii * TH, TH + 2 * Rr),
+                         pl.ds(jj * TW, 2 * Rc)],
+                bufs.at[st, :, 0:2 * Rc], lsems.at[st])
+
+        def start(st, which):
+            if not reuse:
+                in_dma(st, which).start()
+                return
+            _, _, jj = _coords(which)
+            fresh_dma(st, which).start()
+
+            @pl.when(jj == 0)
+            def _():
+                left_dma(st, which).start()
+
+        def wait(st, which):
+            if not reuse:
+                in_dma(st, which).wait()
+                return
+            _, _, jj = _coords(which)
+            fresh_dma(st, which).wait()
+
+            @pl.when(jj == 0)
+            def _():
+                left_dma(st, which).wait()
+
         # warm-up: first grid step issues its own DMA
         @pl.when(step == 0)
         def _():
-            in_dma(slot, step).start()
+            start(slot, step)
 
         # depth-1 prefetch into the other slot; the current slot is a
         # working buffer for this step, so only the inactive slot ever
         # has a transfer in flight
         @pl.when(step + 1 < nsteps)
         def _():
-            in_dma((step + 1) % N_SLOTS, step + 1).start()
+            start((step + 1) % N_SLOTS, step + 1)
 
-        in_dma(slot, step).wait()
+        wait(slot, step)
+        if reuse:
+            buf = bufs.at[slot]
+
+            # interior tiles: left halo from the previous tile's saved
+            # edge (ping-pong indexed by slot parity)
+            @pl.when(j > 0)
+            def _():
+                buf[:, 0:2 * Rc] = edge_ref[1 - slot]
+
+            # save this tile's right-edge overlap for the next tile
+            # while the buffer still holds pristine input
+            @pl.when(j < nj - 1)
+            def _():
+                edge_ref[slot] = buf[:, TW:TW + 2 * Rc]
 
         Jr = _flip_mats(Rr, bufs.dtype)
         Jc = _flip_mats(Rc, bufs.dtype)
+        planes = True
         if whiten is not None:
-            soft, masked = whiten
+            soft, masked, planes = whiten
             acc = jnp.zeros((TH, TW), jnp.float32)
         # ping-pong refs: cur holds smooth_s, tmp the row pass, sm the
         # scale result; cur and sm swap roles each scale.  The DMA slot
@@ -265,11 +335,12 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                         mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
                     wc = wc * jnp.where(thr == 0, jnp.float32(1.0), mask)
                 white = wc * (fac_ref[s] / lp)
-                out_ref[s, 0] = white.astype(out_ref.dtype)
+                if planes:
+                    out_ref[s, 0] = white.astype(out_ref.dtype)
                 acc = acc + white
             refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
             cur = refs[0]
-        out_ref[level, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
+        out_ref[level if planes else 0, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
         if whiten is not None:
             acc_ref[0] = acc.astype(acc_ref.dtype)
 
@@ -290,14 +361,16 @@ _XLA_SCALE_BYTES = 20.0
 
 
 def _vmem_bytes(TH: int, TW: int, level: int, R: int,
-                itemsize: int = 4, whiten: bool = False) -> int:
+                itemsize: int = 4, whiten: bool = False,
+                reuse: bool = False) -> int:
     """VMEM footprint: input slots + tmp + sm working buffers (input
     dtype), Mosaic elementwise temps (always f32 — the conv passes
     accumulate in f32, so bf16 runs need twice the temp headroom
     relative to their buffers; measured 17 MB scoped at the old
     accounting), plus the double-buffered revolving output window.
     The fused-whiten variant adds the detail window buffer and the
-    (tiny) partial-recon output."""
+    (tiny) partial-recon output; column-halo reuse adds two edge-save
+    panels."""
     Rr, Rc = _aligned_halos(R)
     window = (TH + 2 * Rr) * (TW + 2 * Rc)
     buf = window * itemsize
@@ -306,18 +379,24 @@ def _vmem_bytes(TH: int, TW: int, level: int, R: int,
     out_win = 2 * (level + 1) * TH * TW * itemsize
     if whiten:
         out_win += 2 * TH * TW * itemsize
-    return n_work * buf + n_temps * window * 4 + out_win
+    edge = N_SLOTS * (TH + 2 * Rr) * 2 * Rc * itemsize if reuse else 0
+    return n_work * buf + n_temps * window * 4 + out_win + edge
 
 
 def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
     """Cost model (seconds) for one fused group over the full image."""
     Rr, Rc = _aligned_halos(R)
     steps = (H // TH) * (W // TW)
-    amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
+    if W // TW > 1:
+        # column-halo reuse: each row band reads W + 2Rc columns once
+        amp = (1 + 2 * Rr / TH) * (1 + 2 * Rc / W)
+    else:
+        amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
     # whiten adds the partial-recon write and doubles the conv work
     # (power smooth per scale)
     bytes_ = H * W * itemsize * (amp + g + 1 + (1 if whiten else 0))
-    vpu = H * W * amp * g * (4 if whiten else 2) * 6
+    vpu_amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
+    vpu = H * W * vpu_amp * g * (4 if whiten else 2) * 6
     return max(bytes_ / _BW, vpu / _VPU) + steps * _STEP_OVH
 
 
@@ -334,8 +413,8 @@ def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                 continue
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
-            if _vmem_bytes(TH, TW, level, R, itemsize,
-                           whiten) <= budget:
+            if _vmem_bytes(TH, TW, level, R, itemsize, whiten,
+                           reuse=W // TW > 1) <= budget:
                 cands.append(
                     (_group_cost(H, W, level, R, TH, TW, itemsize,
                                  whiten), TH, TW))
@@ -394,9 +473,21 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     TH, TW = _plan_tiles(H, W, level, R, x.dtype.itemsize)
     Rr, Rc = _aligned_halos(R)
     xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
-    kernel = _make_kernel(level, sf.taps, TH, TW, R, offset)
+    reuse = W // TW > 1
+    kernel = _make_kernel(level, sf.taps, TH, TW, R, offset,
+                          reuse=reuse)
     grid = (B, H // TH, W // TW)
     dt = x.dtype
+    scratch = [
+        pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+    ]
+    if reuse:
+        scratch.append(pltpu.VMEM((N_SLOTS, TH + 2 * Rr, 2 * Rc), dt))
+    scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
+    if reuse:
+        scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -406,12 +497,7 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
             (level + 1, 1, TH, TW),
             lambda b, i, j: (0, b, i, j),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-            pltpu.SemaphoreType.DMA((N_SLOTS,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp)
     return out if batched else out[:, 0]
@@ -426,17 +512,22 @@ def _wow_group_halo(hw: int, offset: int, g: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("g", "sf", "offset", "soft", "masked",
-                              "interpret"))
+                              "need_cube", "interpret"))
 def _fused_wow_group(x: jax.Array, factors: jax.Array,
                      thresholds: jax.Array, g: int, sf: ScalingFunction,
                      offset: int = 0, soft: bool = True,
                      masked: Tuple[bool, ...] = (),
+                     need_cube: bool = True,
                      interpret: bool = False):
     """Fused decompose+whiten of ``g`` scales at dilation base
     ``2^offset``: returns ``(cube (g+1, B, H, W), acc (B, H, W))`` where
     rows 0..g−1 are *whitened* detail planes, row g the raw carry, and
     ``acc`` the partial reconstruction Σ whitened.  The raw detail
-    planes never touch HBM.  f32 only (dispatch-gated)."""
+    planes never touch HBM.  With ``need_cube=False`` (serving paths
+    that discard coefficients) the cube shrinks to the single carry row
+    — g plane writes per group are skipped; the tile plan (and thus the
+    fold order and every emitted value) is unchanged.  f32 only
+    (dispatch-gated)."""
     batched = x.ndim == 3
     xb = x if batched else x[None]
     B, H, W = xb.shape
@@ -444,30 +535,39 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     TH, TW = _plan_tiles(H, W, g, R, 4, whiten=True)
     Rr, Rc = _aligned_halos(R)
     xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
+    reuse = W // TW > 1
     kernel = _make_kernel(g, sf.taps, TH, TW, R, offset,
-                          whiten=(soft, tuple(masked)))
+                          whiten=(soft, tuple(masked), need_cube),
+                          reuse=reuse)
+    n_rows = g + 1 if need_cube else 1
     grid = (B, H // TH, W // TW)
+    scratch = [
+        pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+    ]
+    if reuse:
+        scratch.append(
+            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, 2 * Rc), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
+    if reuse:
+        scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
     cube, acc = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((g + 1, B, H, W), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n_rows, B, H, W), jnp.float32),
                    jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((g + 1, 1, TH, TW),
+            pl.BlockSpec((n_rows, 1, TH, TW),
                          lambda b, i, j: (0, b, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_SLOTS,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(factors.astype(jnp.float32),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
