@@ -82,6 +82,36 @@ def main():
     errw = float(jnp.abs(white[0] - rw).max())
     check(f"deep step white err={errw:.2e}", errw < 5e-6)
 
+    # ring deep step at a deeper scale (class-ordered manual-DMA ring)
+    x1k = jnp.asarray(rng.normal(size=(1024, 1024)).astype(np.float32))
+
+    @jax.jit
+    def ref_carry8(v):
+        return smooth(v, B3SPLINE, scale=8)
+
+    _, _, cn8 = deep_whiten_step(
+        x1k[None], jnp.zeros((1, 1024, 1024), jnp.float32),
+        jnp.zeros((1,)), sf=B3SPLINE, scale=8, weight=1.0, masked=False)
+    check("ring deep carry bitwise s=8",
+          bool(jnp.all(cn8[0] == ref_carry8(x1k))))
+
+    # column-halo reuse: several column tiles, bitwise vs XLA
+    xw = jnp.asarray(rng.normal(size=(512, 1536)).astype(np.float32))
+    refw = decompose(xw, 5, B3SPLINE, use_pallas=False)
+    gotw = decompose(xw, 5, B3SPLINE, use_pallas=True)
+    check("decompose column-reuse bitwise 512x1536",
+          bool((np.asarray(gotw) == np.asarray(refw)).all()))
+
+    # merged decompose+whiten: need_planes=False leaves recon bitwise
+    r1, _ = W._wow_body_merged(
+        x, jnp.ones(()), True, B3SPLINE, 6, (1.0,) * 7,
+        (5., 2., 0., 0., 0., 0., 1.), True)
+    r2, none = W._wow_body_merged(
+        x, jnp.ones(()), True, B3SPLINE, 6, (1.0,) * 7,
+        (5., 2., 0., 0., 0., 0., 1.), True, need_planes=False)
+    check("merged need_planes recon bitwise",
+          none is None and bool(jnp.all(r1 == r2)))
+
     # exact median
     a = jnp.abs(jnp.asarray(
         rng.normal(size=(1024 * 1024,)).astype(np.float32)))
@@ -109,6 +139,23 @@ def main():
     dt = (time.perf_counter() - t0) / 10
     print(f"wow 4k L10: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps", flush=True)
     check("wow 4k L10 under 15ms", dt < 0.015)
+
+    # serving config timing (4k L6 known-noise, denoise [5,2])
+    st6 = dict(st, n_scales=6, weights=(1.0,) * 7,
+               denoise_coefficients=(5., 2., 0., 0., 0., 0., 1.),
+               has_noise=True)
+    one = jnp.ones((), jnp.float32)
+    f6 = jax.jit(lambda a: W.wow_core(a, one, **st6)[0])
+    z = f6(big)
+    float(ssum(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        z = f6(z)
+    float(ssum(z))
+    dt = (time.perf_counter() - t0) / 10
+    print(f"wow 4k L6 known-noise: {dt * 1e3:.2f} ms = {1 / dt:.1f} fps",
+          flush=True)
+    check("wow 4k L6 known-noise under 10ms", dt < 0.010)
 
     print(("ALL PASS" if not failures else
            f"{len(failures)} FAILURES: {failures}"), flush=True)
