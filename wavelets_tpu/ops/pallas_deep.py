@@ -164,7 +164,7 @@ def _deep_compute(blocks, ext, thr_b, taps, D: int, W: int,
 
 def _make_deep_kernel(taps, T: int, W: int, D: int, NB: int,
                       weight: float, soft: bool, masked: bool,
-                      write_plane: bool):
+                      write_plane: bool, accum: bool = True):
     hw = (len(taps) - 1) // 2
     nblk = 4 * hw + 1
     DT = D // T
@@ -172,11 +172,16 @@ def _make_deep_kernel(taps, T: int, W: int, D: int, NB: int,
     def kernel(*refs):
         thr_ref = refs[0]
         carry_refs = refs[1:1 + nblk]
-        recon_ref = refs[1 + nblk]
-        cnext_ref = refs[2 + nblk]
-        recon_out = refs[3 + nblk]
-        plane_ref = refs[4 + nblk] if write_plane else None
-        ext = refs[4 + nblk + (1 if write_plane else 0)]
+        refs = refs[1 + nblk:]
+        if accum:
+            recon_ref, cnext_ref, recon_out = refs[:3]
+            refs = refs[3:]
+        else:
+            recon_ref = recon_out = None
+            cnext_ref = refs[0]
+            refs = refs[1:]
+        plane_ref = refs[0] if write_plane else None
+        ext = refs[1 if write_plane else 0]
 
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -194,7 +199,8 @@ def _make_deep_kernel(taps, T: int, W: int, D: int, NB: int,
 
         white, cnext = _deep_compute(blocks, ext, thr_ref[b], taps, D,
                                      W, weight, soft, masked)
-        recon_out[0] = recon_ref[0] + white
+        if accum:
+            recon_out[0] = recon_ref[0] + white
         cnext_ref[0] = cnext
         if write_plane:
             plane_ref[0] = white
@@ -217,7 +223,7 @@ def _ring_rows(H: int, W: int, D: int) -> int:
 
 def _make_ring_kernel(taps, T: int, W: int, D: int, M: int,
                       weight: float, soft: bool, masked: bool,
-                      write_plane: bool):
+                      write_plane: bool, accum: bool = True):
     hw = (len(taps) - 1) // 2
     nblk = 4 * hw + 1
     RING = nblk + 1
@@ -226,11 +232,16 @@ def _make_ring_kernel(taps, T: int, W: int, D: int, M: int,
     def kernel(*refs):
         thr_ref = refs[0]
         carry = refs[1]
-        recon_ref = refs[2]
-        cnext_ref = refs[3]
-        recon_out = refs[4]
-        plane_ref = refs[5] if write_plane else None
-        s0 = 6 if write_plane else 5
+        refs = refs[2:]
+        if accum:
+            recon_ref, cnext_ref, recon_out = refs[:3]
+            refs = refs[3:]
+        else:
+            recon_ref = recon_out = None
+            cnext_ref = refs[0]
+            refs = refs[1:]
+        plane_ref = refs[0] if write_plane else None
+        s0 = 1 if write_plane else 0
         ring, ext, sems = refs[s0:s0 + 3]
 
         b = pl.program_id(0)
@@ -295,7 +306,8 @@ def _make_ring_kernel(taps, T: int, W: int, D: int, M: int,
 
         white, cnext = _deep_compute(blocks, ext, thr_ref[b], taps, D,
                                      W, weight, soft, masked)
-        recon_out[0] = recon_ref[0] + white
+        if accum:
+            recon_out[0] = recon_ref[0] + white
         cnext_ref[0] = cnext
         if write_plane:
             plane_ref[0] = white
@@ -324,11 +336,21 @@ def deep_whiten_step(
     c_next)`` where ``c_next`` is the next scale's carry and ``recon' =
     recon + white``.  ``white`` is None when ``write_plane=False``.
 
+    ``recon=None`` (requires ``write_plane=True``) skips the in-kernel
+    reconstruction accumulation — no recon read/write rides the launch
+    (134 MB/scale at 4k²) and ``recon'`` comes back None; the caller
+    sums the whitened planes in XLA, which fuses all the adds into one
+    pass.  Pass a recon array only when the planes are NOT materialized
+    (serving mode), where in-kernel accumulation is what avoids the
+    plane round trip.
+
     ``carry``/``recon``: ``(B, H, W)`` float32; ``threshold``: ``(B,)``
     per-frame significance threshold (used only when ``masked``).
     Numerically equivalent to the XLA step in models/wow.py
     ``_wow_body_fused`` (erf approximation aside when masked+soft).
     """
+    accum = recon is not None
+    assert accum or write_plane
     B, H, W = carry.shape
     D = 1 << scale
     hw = sf.half_width
@@ -345,12 +367,17 @@ def deep_whiten_step(
             return (b, c + k * DT, 0)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec((1, T2, W), omap)]
-        out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32),
-                      jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
-        out_specs = [pl.BlockSpec((1, T2, W), omap),
-                     pl.BlockSpec((1, T2, W), omap)]
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        operands = [jnp.broadcast_to(
+            threshold.astype(jnp.float32).reshape(-1), (B,)), carry]
+        out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, T2, W), omap)]
+        if accum:
+            in_specs.append(pl.BlockSpec((1, T2, W), omap))
+            operands.append(recon)
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, W),
+                                                   jnp.float32))
+            out_specs.append(pl.BlockSpec((1, T2, W), omap))
         if write_plane:
             out_shapes.append(
                 jax.ShapeDtypeStruct((B, H, W), jnp.float32))
@@ -358,7 +385,7 @@ def deep_whiten_step(
 
         RING = 4 * hw + 2
         kernel = _make_ring_kernel(sf.taps, T2, W, D, M, float(weight),
-                                   soft, masked, write_plane)
+                                   soft, masked, write_plane, accum)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -371,55 +398,57 @@ def deep_whiten_step(
                 pltpu.SemaphoreType.DMA((2, RING)),
             ],
             interpret=interpret,
-        )(jnp.broadcast_to(threshold.astype(jnp.float32).reshape(-1),
-                           (B,)),
-          carry, recon)
+        )(*operands)
+    else:
+        T = deep_block_rows(H, W, D)
+        if T == 0:
+            raise ValueError("deep_whiten_step: no feasible block (use "
+                             "can_deep before dispatch)")
+        NB = H // T
+        DT = D // T
+        nblk = 4 * hw + 1
+
+        def refl(idx):
+            idx = jnp.where(idx < 0, -idx - 1, idx)
+            return jnp.where(idx >= NB, 2 * NB - 1 - idx, idx)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        for m in range(-2 * hw, 2 * hw + 1):
+            in_specs.append(pl.BlockSpec(
+                (1, T, W), lambda b, i, m=m: (b, refl(i + m * DT), 0)))
+        operands = [jnp.broadcast_to(
+            threshold.astype(jnp.float32).reshape(-1), (B,)),
+            *([carry] * nblk)]
+        out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0))]
+        if accum:
+            in_specs.append(
+                pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)))
+            operands.append(recon)
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, W),
+                                                   jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)))
         if write_plane:
-            cnext, recon_out, white = outs
-            return white, recon_out, cnext
-        cnext, recon_out = outs
-        return None, recon_out, cnext
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, W),
+                                                   jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)))
 
-    T = deep_block_rows(H, W, D)
-    if T == 0:
-        raise ValueError("deep_whiten_step: no feasible block (use "
-                         "can_deep before dispatch)")
-    NB = H // T
-    DT = D // T
-    nblk = 4 * hw + 1
+        kernel = _make_deep_kernel(sf.taps, T, W, D, NB, float(weight),
+                                   soft, masked, write_plane, accum)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, NB),
+            out_shape=tuple(out_shapes),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=[pltpu.VMEM((T, W + 2 * Rc), jnp.float32)],
+            interpret=interpret,
+        )(*operands)
 
-    def refl(idx):
-        idx = jnp.where(idx < 0, -idx - 1, idx)
-        return jnp.where(idx >= NB, 2 * NB - 1 - idx, idx)
-
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    for m in range(-2 * hw, 2 * hw + 1):
-        in_specs.append(pl.BlockSpec(
-            (1, T, W), lambda b, i, m=m: (b, refl(i + m * DT), 0)))
-    in_specs.append(pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)))
-
-    out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32),
-                  jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)),
-                 pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0))]
-    if write_plane:
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, W), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, T, W), lambda b, i: (b, i, 0)))
-
-    kernel = _make_deep_kernel(sf.taps, T, W, D, NB, float(weight),
-                               soft, masked, write_plane)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B, NB),
-        out_shape=tuple(out_shapes),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((T, W + 2 * Rc), jnp.float32)],
-        interpret=interpret,
-    )(jnp.broadcast_to(threshold.astype(jnp.float32).reshape(-1), (B,)),
-      *([carry] * nblk), recon)
-    if write_plane:
-        cnext, recon_out, white = outs
-        return white, recon_out, cnext
-    cnext, recon_out = outs
-    return None, recon_out, cnext
+    outs = list(outs)
+    cnext = outs.pop(0)
+    recon_out = outs.pop(0) if accum else None
+    white = outs.pop(0) if write_plane else None
+    return white, recon_out, cnext
