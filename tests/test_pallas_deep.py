@@ -163,3 +163,19 @@ def test_wow_tail_deep_batched(rng, monkeypatch):
         scale = float(jnp.max(jnp.abs(ref_r)))
         assert float(jnp.max(jnp.abs(got_r[b] - ref_r))) < 5e-6 * scale
         assert float(jnp.max(jnp.abs(got_p[b] - ref_p))) < 5e-6 * scale
+
+
+def test_deep_step_no_accum(img32):
+    """recon=None selects the plane-only kernel layout: white/carry
+    bitwise-match the accumulating call, recon' comes back None."""
+    x = img32[None]
+    recon = jnp.zeros_like(x)
+    w1, r1, c1 = deep_whiten_step(
+        x, recon, jnp.zeros((1,)), sf=B3SPLINE, scale=6, weight=1.0,
+        masked=False, interpret=True)
+    w2, r2, c2 = deep_whiten_step(
+        x, None, jnp.zeros((1,)), sf=B3SPLINE, scale=6, weight=1.0,
+        masked=False, interpret=True)
+    assert r2 is None
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
