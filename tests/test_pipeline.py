@@ -67,3 +67,32 @@ def test_checked_validation():
         checked(lambda x: x / jnp.zeros(4))(jnp.ones(4))
     with pytest.raises(FloatingPointError):
         assert_finite(np.array([1.0, np.inf]))
+
+
+def test_cli_denoise_and_rl(tmp_path, rng):
+    from wavelets_tpu.cli import main
+
+    frames = (rng.normal(size=(2, 128, 128)) * 50 + 300).astype(
+        np.float32)
+    inp = str(tmp_path / "in.raw")
+    frames.tofile(inp)
+
+    outp = str(tmp_path / "dn.raw")
+    assert main(["denoise", inp, outp, "--shape", "128", "128",
+                 "--frames", "2", "--weights", "5", "3"]) == 0
+    out = np.fromfile(outp, np.float32).reshape(2, 128, 128)
+    assert np.isfinite(out).all()
+    import wavelets_tpu as wt
+    want = np.asarray(wt.denoise(frames[0], [5, 3]))
+    assert np.allclose(out[0], want, atol=1e-5)
+
+    g = np.exp(-((np.arange(9) - 4) ** 2) / 4.0)
+    psf = np.outer(g, g).astype(np.float32)
+    psf /= psf.sum()
+    pf = str(tmp_path / "psf.npy")
+    np.save(pf, psf)
+    outr = str(tmp_path / "rl.raw")
+    assert main(["rl", inp, outr, "--shape", "128", "128", "--frames",
+                 "2", "--psf", pf, "--iterations", "2"]) == 0
+    out = np.fromfile(outr, np.float32).reshape(2, 128, 128)
+    assert np.isfinite(out).all()

@@ -59,6 +59,33 @@ def main(argv=None):
     d.add_argument("--frame", type=int, default=0)
     d.add_argument("--frames", type=int, default=1)
 
+    dn = sub.add_parser("denoise",
+                        help="wavelet-denoise a frame stack")
+    _add_stack_args(dn)
+    dn.add_argument("--frames", type=int, required=True)
+    dn.add_argument("--weights", type=float, nargs="+", required=True,
+                    metavar="SIGMA",
+                    help="per-scale significance thresholds, e.g. 5 3")
+    dn.add_argument("--hard", action="store_true")
+    dn.add_argument("--anscombe", action="store_true",
+                    help="variance-stabilize Poisson-like data first")
+    dn.add_argument("--bilateral", type=float, default=None)
+    dn.add_argument("--scaling-function", default="b3spline",
+                    choices=["b3spline", "triangle"])
+
+    rl = sub.add_parser(
+        "rl", help="Richardson-Lucy deconvolve a frame stack")
+    _add_stack_args(rl)
+    rl.add_argument("--frames", type=int, required=True)
+    rl.add_argument("--psf", required=True,
+                    help="PSF as .npy (2-D, any float dtype)")
+    rl.add_argument("--iterations", type=int, default=10)
+    rl.add_argument("--denoise", type=float, nargs="*",
+                    default=[5, 2, 1])
+    rl.add_argument("--hard", action="store_true")
+    rl.add_argument("--fft", action="store_true")
+    rl.add_argument("--uniform-init", action="store_true")
+
     sub.add_parser("bench", help="run the headline benchmark")
 
     args = ap.parse_args(argv)
@@ -101,6 +128,45 @@ def main(argv=None):
         coeffs = AtrousTransform()(img, args.level)
         save_coefficients(args.output, coeffs)
         print(f"saved {len(coeffs)} planes to {args.output}")
+        return 0
+
+    if args.cmd == "denoise":
+        from .api import B3spline, Triangle
+        from .models.denoise import denoise
+        from .utils.frameio import FrameStack
+
+        sf = {"b3spline": B3spline, "triangle": Triangle}[
+            args.scaling_function]
+        with FrameStack(args.input, args.frames, tuple(args.shape),
+                        dtype=args.dtype, offset=args.offset) as fs, \
+                open(args.output, "wb") as out_f:
+            for k in range(args.frames):
+                out = denoise(fs[k].astype(np.float32),
+                              list(args.weights), scaling_function=sf,
+                              bilateral=args.bilateral,
+                              soft_threshold=not args.hard,
+                              anscombe=args.anscombe)
+                np.asarray(out, dtype=np.float32).tofile(out_f)
+        print(f"denoised {args.frames} frames -> {args.output}")
+        return 0
+
+    if args.cmd == "rl":
+        from .models.richardson_lucy import richardson_lucy
+        from .utils.frameio import FrameStack
+
+        psf = np.load(args.psf).astype(np.float32)
+        with FrameStack(args.input, args.frames, tuple(args.shape),
+                        dtype=args.dtype, offset=args.offset) as fs, \
+                open(args.output, "wb") as out_f:
+            for k in range(args.frames):
+                out = richardson_lucy(
+                    fs[k].astype(np.float32), psf,
+                    iterations=args.iterations,
+                    denoise_coefficients=tuple(args.denoise),
+                    threshold_type="hard" if args.hard else "soft",
+                    uniform_init=args.uniform_init, fft=args.fft)
+                np.asarray(out, dtype=np.float32).tofile(out_f)
+        print(f"deconvolved {args.frames} frames -> {args.output}")
         return 0
 
     return 1
