@@ -189,3 +189,18 @@ def test_sharded_bilateral_deep_scale_fallback(rng, mesh42):
     got = sharded_decompose(img, 5, B3SPLINE, mesh42, bilateral=bil)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_wow_no_coefficients(rng, mesh22):
+    """with_coefficients=False: same recon, planes elided."""
+    img = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    r1, planes = sharded_wow(img, mesh22,
+                             denoise_coefficients=[5, 2], noise=1.0)
+    r2, none = sharded_wow(img, mesh22,
+                           denoise_coefficients=[5, 2], noise=1.0,
+                           with_coefficients=False)
+    assert none is None
+    # the plane-free program is a different XLA optimization unit, so
+    # equality is to f32 fusion tolerance
+    d = np.abs(np.asarray(r1) - np.asarray(r2)).max()
+    assert d < 1e-5, d

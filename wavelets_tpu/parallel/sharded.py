@@ -240,13 +240,16 @@ def sharded_wow(
     gamma_min: Optional[float] = None,
     gamma_max: Optional[float] = None,
     h: float = 0,
+    with_coefficients: bool = True,
 ):
     """WOW on a mesh-tiled image (H, W) or frame stack (B, H, W).
 
     Semantics of :func:`wavelets_tpu.models.wow.wow`, with global
     reductions as collectives and per-frame statistics along a sharded
     batch axis.  Returns ``(recon, planes)`` with the same sharding as
-    the input tiling."""
+    the input tiling.  ``with_coefficients=False`` returns ``(recon,
+    None)`` and lets XLA dead-code-eliminate the plane cube (per-shard
+    plane stores and their HBM footprint disappear under jit)."""
     from ..ops.filters import B3SPLINE
 
     if sf is None:
@@ -307,4 +310,7 @@ def sharded_wow(
         out_specs=(data_spec, planes_spec),
     )
     data = jax.device_put(data, NamedSharding(mesh, data_spec))
-    return jax.jit(fn)(data, noise_arr)
+    if with_coefficients:
+        return jax.jit(fn)(data, noise_arr)
+    recon = jax.jit(lambda d, nz: fn(d, nz)[0])(data, noise_arr)
+    return recon, None
