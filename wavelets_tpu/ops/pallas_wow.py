@@ -103,11 +103,27 @@ def _axis_cases(n_tiles: int, T: int, R: int, total: int):
     return cases
 
 
+def _col_cases_reuse(n_tiles: int, T: int, R: int):
+    """Column DMA variants under edge reuse (``n_tiles ≥ 2``): tiles
+    ``j > 0`` take the left ``2R`` window columns from the previous
+    tile's saved edge panel and DMA only the fresh columns."""
+    cases = [(lambda j: j == 0, lambda j: 0, R, T + R, True, False)]
+    if n_tiles > 2:
+        cases.append(
+            (lambda j: jnp.logical_and(j > 0, j < n_tiles - 1),
+             lambda j: j * T + R, 2 * R, T, False, False))
+    cases.append(
+        (lambda j: j == n_tiles - 1,
+         lambda j: j * T + R, 2 * R, T - R, False, True))
+    return cases
+
+
 def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
                         TH: int, TW: int, ni: int, nj: int,
                         halos, layout, soft: bool, write_planes: bool,
                         n_pieces: int, batch_major: bool = False,
-                        write_gamma: bool = False):
+                        write_gamma: bool = False,
+                        reuse: bool = False):
     hw = (len(taps) - 1) // 2
 
     def kernel(*refs):
@@ -125,7 +141,11 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
             gamma_ref = refs[out_idx + n_out]
             n_out += 1
         scratch0 = out_idx + n_out
-        bufs, t1, sems = refs[scratch0:scratch0 + 3]
+        if reuse:
+            bufs, t1, edge_ref, sems = refs[scratch0:scratch0 + 4]
+        else:
+            bufs, t1, sems = refs[scratch0:scratch0 + 3]
+            edge_ref = None
 
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -134,7 +154,10 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
         def win_cases(s):
             Rr = halos[s]
             rcases = _axis_cases(ni, TH, Rr, ni * TH)
-            ccases = _axis_cases(nj, TW, R_COL, nj * TW)
+            if reuse:
+                ccases = _col_cases_reuse(nj, TW, R_COL)
+            else:
+                ccases = _axis_cases(nj, TW, R_COL, nj * TW)
             return Rr, rcases, ccases
 
         def win_dma_do(slot, s, action):
@@ -209,9 +232,22 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
         for s in range(n_fast):
             slot = s % NSLOT
             win_dma_do(slot, s, "wait")
-            mirror(slot, s)
             Rr = halos[s]
             nr = TH + 2 * Rr
+            if reuse:
+                # interior tiles: left window columns come from the
+                # previous tile's saved edge (pristine plane values)
+                @pl.when(j > 0)
+                def _():
+                    bufs[slot, 0:nr, 0:2 * R_COL] = edge_ref[s, 0:nr]
+            mirror(slot, s)
+            if reuse:
+                # save the right-edge overlap for the next tile before
+                # the slot buffer is recycled as conv scratch
+                @pl.when(j < nj - 1)
+                def _():
+                    edge_ref[s, 0:nr] = bufs[slot, 0:nr,
+                                             TW:TW + 2 * R_COL]
             # keep the interior detail values as a register/temp value —
             # the slot buffer is recycled as conv scratch below
             wc = bufs[slot, Rr:Rr + TH,
@@ -308,10 +344,11 @@ def fused_whiten_pieces(
     ni, nj = H // TH, W // TW
     Rmax = max(halos)
     dt = pieces[0].dtype
+    reuse = nj > 1
 
     kernel = _make_whiten_kernel(
         n_fast, sf.taps, TH, TW, ni, nj, halos, layout, soft,
-        write_planes, len(pieces), batch_major, write_gamma)
+        write_planes, len(pieces), batch_major, write_gamma, reuse)
     grid = (B, ni, nj)
 
     out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
@@ -349,11 +386,12 @@ def fused_whiten_pieces(
              pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(pieces)),
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((NSLOT, TH + 2 * Rmax, TW + 2 * R_COL), dt),
-            pltpu.VMEM((TH + 2 * Rmax, TW + 2 * R_COL), dt),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((NSLOT, TH + 2 * Rmax, TW + 2 * R_COL), dt),
+             pltpu.VMEM((TH + 2 * Rmax, TW + 2 * R_COL), dt)]
+            + ([pltpu.VMEM((n_fast, TH + 2 * Rmax, 2 * R_COL), dt)]
+               if reuse else [])
+            + [pltpu.SemaphoreType.DMA((NSLOT,))]),
         interpret=interpret,
     )(factors.astype(jnp.float32),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(n_fast, -1),
