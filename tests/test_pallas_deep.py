@@ -179,3 +179,23 @@ def test_deep_step_no_accum(img32):
     assert r2 is None
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_deep_step_nonring_geometry(rng):
+    """H not divisible by the dilation falls back to the v1 BlockSpec
+    kernel; keep it covered now that square sizes take the ring path."""
+    from wavelets_tpu.ops.pallas_deep import _ring_rows
+
+    img = jnp.asarray(rng.normal(size=(576, 512)).astype(np.float32))
+    s = 7
+    assert 576 % (1 << s) != 0  # ring requires H % D == 0
+    x = img[None]
+    assert can_deep(x, B3SPLINE, s, None)
+    white, r_out, cn = deep_whiten_step(
+        x, jnp.zeros_like(x), jnp.zeros((1,)), sf=B3SPLINE, scale=s,
+        weight=1.0, masked=False, interpret=True)
+    ref_w, ref_c = _ref_step(img, s)
+    assert np.array_equal(np.asarray(cn[0]), np.asarray(ref_c))
+    d = float(jnp.abs(white[0] - ref_w).max())
+    scale = float(jnp.abs(ref_w).max())
+    assert d < 5e-6 * max(scale, 1)
