@@ -184,8 +184,6 @@ def test_deep_step_no_accum(img32):
 def test_deep_step_nonring_geometry(rng):
     """H not divisible by the dilation falls back to the v1 BlockSpec
     kernel; keep it covered now that square sizes take the ring path."""
-    from wavelets_tpu.ops.pallas_deep import _ring_rows
-
     img = jnp.asarray(rng.normal(size=(576, 512)).astype(np.float32))
     s = 7
     assert 576 % (1 << s) != 0  # ring requires H % D == 0
