@@ -96,3 +96,25 @@ def test_cli_denoise_and_rl(tmp_path, rng):
                  "2", "--psf", pf, "--iterations", "2"]) == 0
     out = np.fromfile(outr, np.float32).reshape(2, 128, 128)
     assert np.isfinite(out).all()
+
+
+def test_process_stack_mesh(tmp_path, rng):
+    """Mesh-aware serving: frames shard over data, tiles over
+    rows x cols; output matches the single-device pipeline."""
+    from wavelets_tpu.parallel import make_mesh
+
+    frames = rng.normal(size=(4, 128, 128)).astype(np.float32)
+    inp = str(tmp_path / "in.raw")
+    frames.tofile(inp)
+
+    out1 = str(tmp_path / "o1.raw")
+    process_stack(inp, out1, 4, (128, 128), dtype="float32", batch=2,
+                  denoise_coefficients=[5, 2], noise=1.0)
+    mesh = make_mesh(data=2, rows=2, cols=2)
+    out2 = str(tmp_path / "o2.raw")
+    process_stack(inp, out2, 4, (128, 128), dtype="float32", batch=2,
+                  mesh=mesh, denoise_coefficients=[5, 2], noise=1.0)
+    a = np.fromfile(out1, np.float32).reshape(4, 128, 128)
+    b = np.fromfile(out2, np.float32).reshape(4, 128, 128)
+    d = np.abs(a - b).max()
+    assert d < 1e-4, d

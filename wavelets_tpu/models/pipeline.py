@@ -31,6 +31,7 @@ def process_stack(
     offset: int = 0,
     batch: int = 4,
     progress: bool = False,
+    mesh=None,
     **wow_kwargs,
 ):
     """Run WOW over every frame of a stored stack.
@@ -40,8 +41,34 @@ def process_stack(
     ``batch``: frames per device dispatch (``wow_stack``).
     Remaining keyword arguments go to :func:`wavelets_tpu.wow_stack`.
     Returns (n_frames, seconds, frames/s).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` from
+    :func:`wavelets_tpu.parallel.make_mesh` — batches then run through
+    :func:`wavelets_tpu.parallel.sharded.sharded_wow` (frames shard
+    over the ``data`` axis, each frame tiles over ``rows × cols`` with
+    halo exchange); ``batch`` should be a multiple of the mesh's data
+    extent.  Single-host multi-chip serving out of the box; multi-host
+    after ``init_distributed``.
     """
     from .wow import wow_stack
+
+    if mesh is not None:
+        from ..api import _spec_of
+        from ..parallel.sharded import sharded_wow
+
+        sf_cls = wow_kwargs.pop("scaling_function", None)
+        if sf_cls is not None:
+            wow_kwargs["sf"] = _spec_of(sf_cls)
+
+        def run_batch(dev):
+            recon, _ = sharded_wow(dev, mesh, with_coefficients=False,
+                                   **wow_kwargs)
+            return recon
+    else:
+        def run_batch(dev):
+            recon, _ = wow_stack(dev, with_coefficients=False,
+                                 **wow_kwargs)
+            return recon
 
     t0 = time.perf_counter()
     out_f = open(output_path, "wb")
@@ -59,9 +86,8 @@ def process_stack(
                     host = np.concatenate([host, pad], axis=0)
                 dev = jnp.asarray(host)
                 # coefficients are never kept here: skip their HBM
-                # writes entirely (wow_stack with_coefficients=False)
-                recon, _ = wow_stack(dev, with_coefficients=False,
-                                     **wow_kwargs)
+                # writes entirely (with_coefficients=False)
+                recon = run_batch(dev)
                 if pending is not None:
                     prev, n_valid = pending
                     np.asarray(prev[:n_valid]).tofile(out_f)
