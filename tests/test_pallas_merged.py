@@ -216,3 +216,21 @@ def test_merged_need_planes_recon_bitwise(rng):
     assert none is None
     assert cube.shape[0] == 7
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_merged_batched_serving(rng):
+    """Frame-stack serving through the merged body (need_planes=False):
+    per-frame statistics, recon matches per-frame single calls."""
+    stack = jnp.asarray(
+        rng.normal(size=(2, 256, 256)).astype(np.float32))
+    noise = jnp.asarray([1.0, 2.0], jnp.float32)
+    kw = dict(sf=B3SPLINE, n_scales=6, weights=(1.0,) * 7,
+              denoise_coefficients=(5.0, 2.0) + (0.0,) * 4 + (1.0,),
+              soft_threshold=True)
+    rb, none = W._wow_body_merged(stack, noise, True,
+                                  need_planes=False, **kw)
+    assert none is None
+    for b in range(2):
+        rs, _ = W._wow_body_merged(stack[b], noise[b], True,
+                                   need_planes=False, **kw)
+        assert np.array_equal(np.asarray(rb[b]), np.asarray(rs)), b

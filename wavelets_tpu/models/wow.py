@@ -191,18 +191,27 @@ def _wow_body_merged(
     data, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold, need_planes=True,
 ):
-    """Single-frame WOW through the merged decompose+whiten kernel
+    """WOW through the merged decompose+whiten kernel
     (ops/pallas_conv.py ``_fused_wow_group``): whitened detail planes
     come straight out of the decompose pass — the raw plane cube never
     round-trips HBM.  Deep scales run the fused deep step; the residual
     normalization stays in XLA.  Lazy MAD noise costs one extra XLA
     smooth here (w₀ must exist *before* the first group so the
     significance thresholds are known up front).  Numerics match
-    :func:`_wow_body_fused` (same kernels' fold order, same erf)."""
+    :func:`_wow_body_fused` (same kernels' fold order, same erf).
+
+    ``data`` is a single frame (H, W) or — serving mode only
+    (``need_planes=False``, gated by ``_can_merge_whiten``) — a frame
+    stack (B, H, W) with per-frame statistics; the kernels carry the
+    frame dimension on a leading grid axis, and the plane-cube layout
+    question (batch-major vs scale-major) never arises because no cube
+    is materialized."""
     from ..ops import pallas_conv
 
     interp = jax.default_backend() == "cpu"
-    H, W = data.shape
+    batched = data.ndim == 3
+    H, W = data.shape[-2:]
+    sp_axes = (1, 2) if batched else (0, 1)
     sigma_e = sf.sigma_e(2, False)
     n_fast = min(n_scales, _deep_start(data, sf))
     groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
@@ -212,9 +221,14 @@ def _wow_body_merged(
     if not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales]
     ):
-        w0 = data - smooth(data, sf, scale=0)
-        noise = mad_noise(w0, float(sigma_e[0]))
+        w0 = data - smooth(data, sf, scale=0, axes=sp_axes)
+        if batched:
+            noise = mad_noise_frames(w0, float(sigma_e[0]))
+        else:
+            noise = mad_noise(w0, float(sigma_e[0]))
     noise32 = jnp.asarray(noise, jnp.float32)
+    if batched and noise32.ndim == 0:
+        noise32 = jnp.broadcast_to(noise32, (data.shape[0],))
 
     out_rows = []
     recon = None
@@ -240,11 +254,14 @@ def _wow_body_merged(
 
     rows, recon, residual = _deep_tail_scales(
         cur, recon, noise32, sf, n_fast, n_scales, weights,
-        denoise_coefficients, soft_threshold, sigma_e, (0, 1),
-        batched=False, write_planes=need_planes)
+        denoise_coefficients, soft_threshold, sigma_e, sp_axes,
+        batched=batched, write_planes=need_planes)
     out_rows.extend(rows)
 
-    lp = jnp.std(residual)
+    if batched:
+        lp = jnp.std(residual, axis=(-2, -1), keepdims=True)
+    else:
+        lp = jnp.std(residual)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
     c = residual * (weights[n_scales] / lp)
     out_rows.append(c)
@@ -268,31 +285,42 @@ def _deep_start(data, sf) -> int:
     return s
 
 
-def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool) -> bool:
-    """Merged decompose+whiten dispatch: single 2-D f32 frame on TPU
-    whose fast scales are fully coverable by whiten groups and whose
-    deep scales (if any) are all deep-step-feasible.  Lazy-noise
-    denoising keeps the kernel-pair path: the significance thresholds
-    would need w₀ *before* the first merged group, costing an extra
-    full-image smooth that eats the merge's gain (measured: lazy L6
-    8.0 ms merged vs 7.3 ms pair; known-noise 5.4 ms merged vs 6.5)."""
+def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
+                      need_planes: bool = True) -> bool:
+    """Merged decompose+whiten dispatch: f32 on TPU, fast scales fully
+    coverable by whiten groups, deep scales (if any) all
+    deep-step-feasible.  Single 2-D frames always qualify; a frame
+    stack qualifies only in serving mode (``need_planes=False``) —
+    with planes the kernel-pair path wins because its whiten kernel
+    writes the cube batch-major directly (the merged cube is
+    scale-major and would need a full relayout).  Lazy-noise denoising
+    keeps the kernel-pair path: the significance thresholds would need
+    w₀ *before* the first merged group, costing an extra full-image
+    smooth that eats the merge's gain (measured: lazy L6 8.0 ms merged
+    vs 7.3 ms pair; known-noise 5.4 ms merged vs 6.5)."""
     from ..ops import pallas_conv, pallas_deep
 
     if lazy_masked:
         return False
-    if data.ndim != 2 or data.dtype != jnp.float32:
+    if data.dtype != jnp.float32:
+        return False
+    if data.ndim == 3:
+        if need_planes:
+            return False
+    elif data.ndim != 2:
         return False
     if jax.default_backend() == "cpu":
         return False
-    H, W = data.shape
+    H, W = data.shape[-2:]
     ds = _deep_start(data, sf)
     n_fast = min(n_scales, ds)
     groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
                                                   sf.half_width)
     if covered != n_fast:
         return False
+    db = data if data.ndim == 3 else data[None]
     for s in range(n_fast, n_scales):
-        if not pallas_deep.can_deep(data[None], sf, s, None):
+        if not pallas_deep.can_deep(db, sf, s, None):
             return False
     return True
 
@@ -609,7 +637,8 @@ def wow_core(
         lazy_masked = not has_noise and any(
             d != 0 for d in denoise_coefficients[:n_scales])
         if (bilateral is None and not preserve_variance and h == 0
-                and _can_merge_whiten(data, sf, n_scales, lazy_masked)):
+                and _can_merge_whiten(data, sf, n_scales, lazy_masked,
+                                      need_planes)):
             return _wow_body_merged(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold,
