@@ -1,5 +1,5 @@
 """Round-2 hardware timing batch (run on the TPU from the repo root).
-process.  Run from /root/repo: python /tmp/r2_hw2.py"""
+One TPU process at a time; run: python scripts/r2_timing.py"""
 import sys
 import time
 
