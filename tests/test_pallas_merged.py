@@ -234,3 +234,27 @@ def test_merged_batched_serving(rng):
         rs, _ = W._wow_body_merged(stack[b], noise[b], True,
                                    need_planes=False, **kw)
         assert np.array_equal(np.asarray(rb[b]), np.asarray(rs)), b
+
+
+def test_merged_bf16(rng):
+    """The merged body is dtype-generic: bf16 tracks the XLA bf16
+    path (dtype-preserving engine) to bf16 rounding tolerance."""
+    x = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    kw = dict(sf=B3SPLINE, n_scales=6, weights=(1.0,) * 7,
+              denoise_coefficients=(5.0, 2.0) + (0.0,) * 4 + (1.0,),
+              soft_threshold=True)
+    rb, planes = W._wow_body_merged(xb, jnp.ones((), jnp.bfloat16),
+                                    True, **kw)
+    assert rb.dtype == jnp.bfloat16
+    assert planes.dtype == jnp.bfloat16
+    r32, _ = W._wow_body_merged(x, jnp.ones(()), True, **kw)
+    d = float(jnp.abs(rb.astype(jnp.float32) - r32).max())
+    scale = float(jnp.abs(r32).max())
+    assert d < 0.05 * max(scale, 1), d
+    # serving variant stays bitwise vs its cube-bearing twin
+    rb2, none = W._wow_body_merged(xb, jnp.ones((), jnp.bfloat16),
+                                   True, need_planes=False, **kw)
+    assert none is None
+    assert np.array_equal(np.asarray(rb.astype(jnp.float32)),
+                          np.asarray(rb2.astype(jnp.float32)))

@@ -77,6 +77,13 @@ class VmapSafeReduceOps(LocalReduceOps):
 
 _LOCAL_OPS = LocalReduceOps()
 
+#: dispatch bf16 inputs through the merged decompose+whiten kernels
+#: (kernels are dtype-generic and interpret-verified; flip after the
+#: hardware A/B against the XLA bf16 path — round 1 measured pure-XLA
+#: bf16 faster than the *pair* hybrid, but the merged path has since
+#: halved its traffic)
+BF16_MERGED = False
+
 
 def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
                      h, bilateral):
@@ -214,8 +221,8 @@ def _wow_body_merged(
     sp_axes = (1, 2) if batched else (0, 1)
     sigma_e = sf.sigma_e(2, False)
     n_fast = min(n_scales, _deep_start(data, sf))
-    groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
-                                                  sf.half_width)
+    groups, covered = pallas_conv.plan_wow_groups(
+        H, W, n_fast, sf.half_width, data.dtype.itemsize)
     assert covered == n_fast  # guarded by _can_merge_whiten
 
     if not has_noise and any(
@@ -302,7 +309,7 @@ def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
 
     if lazy_masked:
         return False
-    if data.dtype != jnp.float32:
+    if data.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if data.ndim == 3:
         if need_planes:
@@ -314,8 +321,8 @@ def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
     H, W = data.shape[-2:]
     ds = _deep_start(data, sf)
     n_fast = min(n_scales, ds)
-    groups, covered = pallas_conv.plan_wow_groups(H, W, n_fast,
-                                                  sf.half_width)
+    groups, covered = pallas_conv.plan_wow_groups(
+        H, W, n_fast, sf.half_width, data.dtype.itemsize)
     if covered != n_fast:
         return False
     db = data if data.ndim == 3 else data[None]
@@ -631,6 +638,26 @@ def wow_core(
     # halo R = hw·(3·2^(L−1)−1) forces 256² tiles whose 6.25× window
     # amplification makes it VPU-bound.  Removed in round 2 (git
     # history: ops/pallas_mega.py); see DESIGN.md for the analysis.
+    if (fuse and BF16_MERGED and data.dtype == jnp.bfloat16
+            and whitening and h == 0 and bilateral is None
+            and not preserve_variance
+            and jax.default_backend() != "cpu"):
+        # opt-in bf16 fast path: the merged kernels are dtype-generic,
+        # and unlike the kernel-pair hybrid (measured slower than pure
+        # XLA in bf16) the merged path halves both reads and writes
+        spatial_ok = (data.ndim == 2 and axes is None) or (
+            data.ndim == 3 and axes is not None
+            and tuple(a % 3 for a in axes) == (1, 2))
+        lazy_masked = not has_noise and any(
+            d != 0 for d in denoise_coefficients[:n_scales])
+        if (spatial_ok and data.shape[-1] % 256 == 0
+                and data.shape[-2] % 256 == 0
+                and _can_merge_whiten(data, sf, n_scales, lazy_masked,
+                                      need_planes)):
+            return _wow_body_merged(
+                data, noise, has_noise, sf, n_scales, weights,
+                denoise_coefficients, soft_threshold,
+                need_planes=need_planes)
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h,
                                  bilateral is not None):

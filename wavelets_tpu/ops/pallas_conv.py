@@ -526,13 +526,16 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     planes never touch HBM.  With ``need_cube=False`` (serving paths
     that discard coefficients) the cube shrinks to the single carry row
     — g plane writes per group are skipped; the tile plan (and thus the
-    fold order and every emitted value) is unchanged.  f32 only
-    (dispatch-gated)."""
+    fold order and every emitted value) is unchanged.  Dtype-generic
+    (f32 / bf16: the convs accumulate in f32 but inter-pass buffers
+    round to the input dtype, matching the dtype-preserving engine);
+    dispatch is gated in models/wow.py."""
     batched = x.ndim == 3
     xb = x if batched else x[None]
     B, H, W = xb.shape
+    dt = x.dtype
     R = _wow_group_halo(sf.half_width, offset, g)
-    TH, TW = _plan_tiles(H, W, g, R, 4, whiten=True)
+    TH, TW = _plan_tiles(H, W, g, R, dt.itemsize, whiten=True)
     Rr, Rc = _aligned_halos(R)
     xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
     reuse = W // TW > 1
@@ -542,22 +545,22 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     n_rows = g + 1 if need_cube else 1
     grid = (B, H // TH, W // TW)
     scratch = [
-        pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), jnp.float32),
+        pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
+        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
     ]
     if reuse:
         scratch.append(
-            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, 2 * Rc), jnp.float32))
+            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, 2 * Rc), dt))
     scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
     if reuse:
         scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
     cube, acc = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((n_rows, B, H, W), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_rows, B, H, W), dt),
+                   jax.ShapeDtypeStruct((B, H, W), dt)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -586,8 +589,6 @@ def plan_wow_groups(H: int, W: int, level: int, hw: int,
     a list of ``(offset, g)`` and covered is how many leading scales
     the plan reaches (groups only beat the kernel-pair path while the
     halo amplification stays bounded)."""
-    if itemsize != 4:
-        return [], 0
     INF = float("inf")
     best = [(0.0, None)] * (level + 1)
     for s in range(level - 1, -1, -1):
