@@ -588,7 +588,10 @@ def plan_wow_groups(H: int, W: int, level: int, hw: int,
     bigger whiten halo); returns ``(groups, covered)`` where groups is
     a list of ``(offset, g)`` and covered is how many leading scales
     the plan reaches (groups only beat the kernel-pair path while the
-    halo amplification stays bounded)."""
+    halo amplification stays bounded).  f32/bf16 only — the whiten
+    kernels are not f64 territory."""
+    if itemsize not in (2, 4):
+        return [], 0
     INF = float("inf")
     best = [(0.0, None)] * (level + 1)
     for s in range(level - 1, -1, -1):
