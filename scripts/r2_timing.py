@@ -160,3 +160,39 @@ print(f"wow_stack 4x4k L6 known-noise no-coeffs (merged): {dt:.2f} ms"
       f" = {4000/dt:.1f} fps", flush=True)
 
 print("HW2-DONE", flush=True)
+
+# 9. bf16 A/B: XLA path (current dispatch) vs forced merged kernels
+xb16 = x4k.astype(jnp.bfloat16)
+st_b = dict(st, n_scales=6, weights=(1.0,) * 7,
+            denoise_coefficients=(5.0, 2.0, 0.0, 0.0, 0.0, 0.0, 1.0),
+            has_noise=True)
+one16 = jnp.ones((), jnp.bfloat16)
+fb_xla = jax.jit(lambda v: W.wow_core(v, one16, **st_b)[0])
+dt = timeit(fb_xla, xb16, iters=30)
+print(f"bf16 4k L6 XLA path: {dt:.2f} ms = {1000/dt:.1f} fps",
+      flush=True)
+W.BF16_MERGED = True
+try:
+    fb_mg = jax.jit(lambda v: W._wow_body_merged(
+        v, one16, True, B3SPLINE, 6, (1.0,) * 7,
+        (5.0, 2.0, 0.0, 0.0, 0.0, 0.0, 1.0), True)[0])
+    r_m = fb_mg(xb16)
+    r_x = fb_xla(xb16)
+    sc = float(jnp.abs(r_x.astype(jnp.float32)).max())
+    print("bf16 merged vs XLA max|d|: %.3e (scale %.1f)" % (
+        float(jnp.abs((r_m - r_x).astype(jnp.float32)).max()), sc),
+        flush=True)
+    dt = timeit(fb_mg, xb16, iters=30)
+    print(f"bf16 4k L6 MERGED: {dt:.2f} ms = {1000/dt:.1f} fps",
+          flush=True)
+    fb_srv = jax.jit(lambda v: W._wow_body_merged(
+        v, one16, True, B3SPLINE, 6, (1.0,) * 7,
+        (5.0, 2.0, 0.0, 0.0, 0.0, 0.0, 1.0), True,
+        need_planes=False)[0])
+    dt = timeit(fb_srv, xb16, iters=30)
+    print(f"bf16 4k L6 MERGED no-planes: {dt:.2f} ms = "
+          f"{1000/dt:.1f} fps", flush=True)
+finally:
+    W.BF16_MERGED = False
+
+print("HW2B-DONE", flush=True)
