@@ -13,6 +13,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import threading
 import time
 
 import jax
@@ -21,8 +23,33 @@ import numpy as np
 
 BASELINE_FPS = 0.037  # BASELINE.md row 4: 4k² standard WOW, 1× CPU
 
+#: hard watchdog: the axon tunnel has been observed to hang backend
+#: init indefinitely during platform outages; emit a diagnostic line
+#: and exit rather than stalling the caller (compile ~40 s, timing
+#: ~1 min — 20 min is generous headroom)
+WATCHDOG_S = 1200
+
+
+def _arm_watchdog():
+    def fire():
+        print(json.dumps({
+            "metric": "wow_4k_auto10scale_frames_per_s_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {WATCHDOG_S}s "
+                     "(TPU backend unreachable?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    watchdog = _arm_watchdog()
     from wavelets_tpu.models.wow import wow_core
     from wavelets_tpu.ops.filters import B3SPLINE
 
@@ -75,6 +102,7 @@ def main():
     dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "wow_4k_auto10scale_frames_per_s_per_chip",
         "value": round(fps, 3),
