@@ -112,6 +112,23 @@ def main():
     check("merged need_planes recon bitwise",
           none is None and bool(jnp.all(r1 == r2)))
 
+    # batched preserve_variance rides the fused whiten (per-frame
+    # factor table) — compare against a vmap of the XLA body
+    stack = jnp.stack([x, 2.0 * x + 1.0])
+    rs, ps = W.wow_stack(stack, preserve_variance=True,
+                         n_scales=4, denoise_coefficients=[5, 2])
+
+    def one_pv(frame):
+        planes = decompose(frame, 4, B3SPLINE, use_pallas=False)
+        return W._wow_body(
+            planes, jnp.zeros(()), False, B3SPLINE, 4, (1.0,) * 5,
+            True, (5., 2., 0., 0., 1.), False, True, True, 3.2,
+            None, None, 0.0, rops=W.VmapSafeReduceOps())
+
+    ref_rs, _ = jax.vmap(one_pv)(stack)
+    errpv = float(jnp.abs(rs - ref_rs).max())
+    check(f"batched preserve_variance err={errpv:.2e}", errpv < 5e-5)
+
     # exact median
     a = jnp.abs(jnp.asarray(
         rng.normal(size=(1024 * 1024,)).astype(np.float32)))

@@ -258,3 +258,31 @@ def test_merged_bf16(rng):
     assert none is None
     assert np.array_equal(np.asarray(rb.astype(jnp.float32)),
                           np.asarray(rb2.astype(jnp.float32)))
+
+
+def test_wow_body_fused_preserve_variance_batched(rng):
+    """Batched preserve_variance: the per-(scale, frame) factor table
+    matches a vmap of the single-frame XLA body."""
+    from wavelets_tpu.core.transform import decompose_pieces
+
+    stack = jnp.asarray(rng.normal(size=(2, 256, 256)).astype(np.float32))
+    level = 3
+    dcoef = (5.0, 2.0, 0.0, 1.0)
+    pieces, layout = decompose_pieces(stack, level, B3SPLINE,
+                                      axes=(1, 2), use_pallas=True)
+    noise = jnp.zeros((2,))
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, None, noise, False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True, preserve_variance=True)
+
+    def one(frame):
+        planes = decompose(frame, level, B3SPLINE, use_pallas=False)
+        return W._wow_body(
+            planes, jnp.zeros(()), False, B3SPLINE, level,
+            (1.0,) * (level + 1), True, dcoef, False, True, True,
+            3.2, None, None, 0.0, rops=W.VmapSafeReduceOps())
+
+    ref_r, ref_p = jax.vmap(one)(stack)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)

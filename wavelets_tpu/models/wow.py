@@ -101,10 +101,10 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
     smooth is plain either way, watroo/utils.py:194) — only the σ_e
     table differs, handled inside _wow_body_fused.
 
-    ``preserve_variance`` qualifies single-frame: the per-scale
-    power-norm ``sqrt(mean(c²))`` (watroo/utils.py:178-184) folds into
-    the whiten kernel's runtime ``factors``; batched stacks would need
-    per-frame factors (the kernel's factor table is per-scale only).
+    ``preserve_variance`` qualifies single-frame and batched: the
+    per-scale power-norm ``sqrt(mean(c²))`` (watroo/utils.py:178-184)
+    folds into the whiten kernel's runtime factor table, per frame for
+    stacks (the table is per-(scale, frame), like the thresholds).
 
     Gamma blend (``0 < h < 1``) qualifies: the kernel's third
     accumulator emits the masked-plane sum for the tone map.  ``h == 1``
@@ -113,8 +113,6 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
     if jax.default_backend() == "cpu":
         return False
     if not whitening or h >= 1:
-        return False
-    if preserve_variance and data.ndim != 2:
         return False
     # f32 only.  bf16 measured end-to-end (4k L6, v5e): pure XLA
     # 4.63 ms beats the hybrid XLA-decompose + Pallas-whiten 5.44 ms —
@@ -385,12 +383,14 @@ def _wow_body_fused(
     if preserve_variance:
         # per-scale power norm sqrt(mean(c²)) folds into the kernel's
         # runtime factor table (watroo/utils.py:178-184); requires
-        # materialized planes (wow_core passes defer_tail=False) and a
-        # single frame (factors are per-scale, not per-frame)
-        assert tail is None and not batched
+        # materialized planes (wow_core passes defer_tail=False).
+        # Batched stacks get a per-(scale, frame) table — the norm is a
+        # per-frame statistic (wow_stack semantics).
+        assert tail is None
+        sp_mean = (-2, -1) if batched else None
         factors = jnp.stack([
             weights[s] * jnp.sqrt(jnp.mean(
-                plane(s).astype(jnp.float32) ** 2))
+                plane(s).astype(jnp.float32) ** 2, axis=sp_mean))
             for s in range(n_fast)])
     else:
         factors = jnp.asarray([weights[s] for s in range(n_fast)],
@@ -419,8 +419,9 @@ def _wow_body_fused(
         lp = smooth(c * c, sf, scale=s, axes=sp_axes)
         lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
                                 lp))
-        pn = (jnp.sqrt(jnp.mean(c * c)) if preserve_variance
-              else jnp.asarray(1.0, c.dtype))
+        pn = (jnp.sqrt(jnp.mean(c * c, axis=(-2, -1) if batched
+                                else None, keepdims=batched))
+              if preserve_variance else jnp.asarray(1.0, c.dtype))
         if denoise_coefficients[s] != 0:
             c = c * significance(c, denoise_coefficients[s], noise_b,
                                  float(sigma_e[s]), soft_threshold)
@@ -460,8 +461,9 @@ def _wow_body_fused(
         lp = jnp.std(residual)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, residual.dtype), lp)
     # residual power norm is the (unclamped) std (watroo/utils.py:182)
-    pn = (jnp.std(residual) if preserve_variance
-          else jnp.asarray(1.0, residual.dtype))
+    pn = (jnp.std(residual, axis=(-2, -1) if batched else None,
+                  keepdims=batched)
+          if preserve_variance else jnp.asarray(1.0, residual.dtype))
     c = residual * (weights[n_scales] * pn / lp)
     if need_planes:
         out_rows.append(c)

@@ -271,7 +271,7 @@ def _make_whiten_kernel(n_fast: int, taps: Tuple[float, ...],
                 mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
             mask = jnp.where(thr == 0, jnp.float32(1.0), mask)
             masked = wc * mask
-            white = masked * (fac_ref[s] / lp)
+            white = masked * (fac_ref[s, b] / lp)
             acc = acc + white
             if write_gamma:
                 # gamma-blend input: masked but unweighted/unwhitened
@@ -315,7 +315,9 @@ def fused_whiten_pieces(
 
     ``pieces``: tuple of plane cubes, each ``(rows, B, H, W)`` (batch
     may be 1); ``layout[s] = (piece, row)`` locates scale ``s``.
-    ``factors[s]``: scalar multiplier (w_s · power_norm_s);
+    ``factors``: multiplier table (w_s · power_norm_s), shape
+    ``(n_fast,)`` (shared across frames) or ``(n_fast, B)`` (per-frame,
+    e.g. batched ``preserve_variance`` norms);
     ``thresholds[s, b]``: per-frame significance threshold (0 → none).
 
     Returns ``(whitened (n_fast, B, H, W) or None, partial_recon
@@ -393,7 +395,8 @@ def fused_whiten_pieces(
                if reuse else [])
             + [pltpu.SemaphoreType.DMA((NSLOT,))]),
         interpret=interpret,
-    )(factors.astype(jnp.float32),
+    )(jnp.broadcast_to(factors.astype(jnp.float32).reshape(n_fast, -1),
+                       (n_fast, B)),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(n_fast, -1),
                        (n_fast, B)),
       *pieces)
