@@ -602,7 +602,7 @@ def _wow_body(
         "sf", "n_scales", "weights", "whitening", "denoise_coefficients",
         "bilateral", "bilateral_scaling", "soft_threshold",
         "preserve_variance", "gamma", "gamma_min", "gamma_max", "h",
-        "has_noise", "axes", "fuse",
+        "has_noise", "axes", "fuse", "need_planes",
     ),
 )
 def wow_core(
@@ -699,12 +699,15 @@ def wow_core(
         use_pallas=None if fuse else False,
     )
     planes = assemble_pieces(pieces, layout)
-    return _wow_body(
+    recon, out = _wow_body(
         planes, noise, has_noise, sf, n_scales, weights, whitening,
         denoise_coefficients, bilateral is not None, soft_threshold,
         preserve_variance, gamma, gamma_min, gamma_max, h,
         rops=None if fuse else VmapSafeReduceOps(),
     )
+    # serving contract: need_planes=False always returns (recon, None);
+    # XLA dead-code-eliminates the unconsumed plane stack
+    return (recon, out) if need_planes else (recon, None)
 
 
 @partial(
