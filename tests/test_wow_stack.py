@@ -48,6 +48,34 @@ def test_rejects_unknown_kwarg(stack):
         wow_stack(stack, nonsense=1)
 
 
+def test_wow_core_need_planes_static(rng):
+    """``need_planes`` must be a *static* argument of wow_core's jit —
+    the fused paths branch on it in Python (tile-width choice, plane
+    writes), and treating it as traced raised
+    TracerBoolConversionError on TPU only (CPU never reaches the fused
+    dispatch).  The XLA fallback also honors the (recon, None) serving
+    contract."""
+    from wavelets_tpu.models.wow import wow_core
+    from wavelets_tpu.ops.filters import B3SPLINE
+
+    data = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+    st = dict(sf=B3SPLINE, n_scales=3, weights=(1.0,) * 4,
+              whitening=True,
+              denoise_coefficients=(5.0, 2.0, 0.0, 1.0), bilateral=None,
+              bilateral_scaling=False, soft_threshold=True,
+              preserve_variance=False, gamma=3.2, gamma_min=None,
+              gamma_max=None, h=0.0, has_noise=False)
+    zero = jnp.zeros((), jnp.float32)
+    r1, planes = wow_core(data, zero, **st)
+    r2, none = wow_core(data, zero, need_planes=False, **st)
+    assert none is None and planes is not None
+    # XLA re-fuses once the dead plane stack is eliminated, so CPU
+    # equality is to f32 fusion tolerance (the Pallas paths pin their
+    # tile plans and are bitwise — verified in scripts/tpu_check.py)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_wow_stack_no_coefficients(rng):
     """with_coefficients=False returns (recon, None) with recon equal
     to the coefficient-bearing call.  (On the CPU fallback the no-cube
