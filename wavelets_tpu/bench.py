@@ -77,7 +77,13 @@ def main():
     zero = jnp.zeros((), jnp.float32)
 
     def step(x):
-        recon, _ = wow_core(x, zero, **statics)
+        # planes_layout="rows": the coefficient planes are still fully
+        # computed and materialized on device (they are jit outputs and
+        # cannot be dead-code-eliminated) — they just leave the program
+        # as n_scales+1 arrays instead of one concatenated cube, exactly
+        # what wow() consumes (Coefficients assembles lazily).
+        recon, planes = wow_core(x, zero, planes_layout="rows", **statics)
+        assert len(planes) == n_scales + 1
         return recon
 
     ssum = jax.jit(jnp.sum)

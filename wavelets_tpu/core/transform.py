@@ -34,6 +34,7 @@ from ..ops.conv import (
     smooth,
 )
 from ..ops.filters import ScalingFunction
+from ..ops.layout import stack_planes
 
 __all__ = [
     "decompose",
@@ -171,9 +172,9 @@ def decompose(
                     x, level, sf, bilateral, bilateral_scaling,
                     xla_tail=xla_tail,
                     interpret=jax.default_backend() == "cpu")
-                return jnp.stack(
+                return stack_planes(
                     [pieces[k][r] for s in range(level + 1)
-                     for (k, r) in [layout[s]]], axis=0)
+                     for (k, r) in [layout[s]]])
         else:
             from ..ops import pallas_conv
 
@@ -215,7 +216,7 @@ def decompose(
         planes.append(c - c_next)
         c = c_next
     planes.append(c)
-    return jnp.stack(planes)
+    return stack_planes(planes)
 
 
 def decompose_pieces(
@@ -312,7 +313,7 @@ def assemble_pieces(pieces, layout) -> jax.Array:
     if len(pieces) == 1 and layout == tuple(
             (0, s) for s in range(len(layout))):
         return pieces[0]
-    return jnp.stack([pieces[k][r] for (k, r) in layout], axis=0)
+    return stack_planes([pieces[k][r] for (k, r) in layout])
 
 
 def synthesize(planes: jax.Array) -> jax.Array:

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..api import AtrousTransform
+from ..ops.layout import stack_planes
 
 __all__ = ["enhance", "prepare_params"]
 
@@ -62,7 +63,7 @@ def enhance(*args, weights=None, denoise=None, soft_threshold=True, out=None,
         return jnp.sum(coeffs.data, axis=0)
 
     if img.ndim == 3:
-        result = jnp.stack([
+        result = stack_planes([
             one_channel(img[c], weights[c], denoise[c],
                         None if noise is None else noise[c])
             for c in range(3)])

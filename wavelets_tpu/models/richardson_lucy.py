@@ -24,6 +24,7 @@ from jax import lax
 from ..api import _as_device_array
 from ..core.transform import decompose, synthesize
 from ..ops.filters import B3SPLINE, ScalingFunction
+from ..ops.layout import stack_planes
 from ..ops.stats import mad_noise, significance
 
 __all__ = ["richardson_lucy", "richardson_lucy_core"]
@@ -105,7 +106,7 @@ def richardson_lucy_core(
                     c, float(denoise_coefficients[s]), init_noise,
                     float(sigma_e[s]), soft)
             masked.append(c)
-        psi = synthesize(jnp.stack(masked))
+        psi = synthesize(stack_planes(masked))
         has_init_noise = need_noise
 
     mrs0 = (jnp.zeros((level,) + data.shape, data.dtype) if not soft
@@ -150,7 +151,7 @@ def richardson_lucy_core(
             new_mrs.append(m)
         masked.append(res_planes[level])
 
-        res = synthesize(jnp.stack(masked))
+        res = synthesize(stack_planes(masked))
         res = (res + phi) / phi
 
         if fft:
@@ -159,7 +160,7 @@ def richardson_lucy_core(
         else:
             conv = _correlate2d_symmetric(res, psf.astype(data.dtype))
 
-        return (psi * conv, jnp.stack(new_mrs)), None
+        return (psi * conv, stack_planes(new_mrs)), None
 
     (psi, _), _ = lax.scan(
         step, (psi, mrs0), jnp.arange(iterations), length=iterations)

@@ -30,6 +30,7 @@ from ..core.transform import (
 )
 from ..ops.conv import smooth
 from ..ops.filters import ScalingFunction
+from ..ops.layout import stack_planes
 from ..ops.stats import mad_noise, mad_noise_frames, significance
 
 __all__ = ["wow", "wow_core", "wow_stack"]
@@ -195,6 +196,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
 def _wow_body_merged(
     data, noise, has_noise, sf, n_scales, weights,
     denoise_coefficients, soft_threshold, need_planes=True,
+    planes_layout="cube",
 ):
     """WOW through the merged decompose+whiten kernel
     (ops/pallas_conv.py ``_fused_wow_group``): whitened detail planes
@@ -273,7 +275,13 @@ def _wow_body_merged(
     recon = recon + c
     if not need_planes:
         return recon, None
-    return recon, jnp.stack(out_rows)
+    if planes_layout == "rows":
+        # rows form: the planes leave the program as n_scales+1 separate
+        # arrays — skips the cube concatenation (measured 7.2 ms at 4k²
+        # L10 on v5e, ~40% of the whole pipeline); Coefficients
+        # assembles the cube lazily if the user ever indexes it
+        return recon, tuple(out_rows)
+    return recon, stack_planes(out_rows)
 
 
 def _deep_start(data, sf) -> int:
@@ -336,7 +344,7 @@ def _wow_body_fused(
     bilateral=None, bilateral_scaling=False,
     preserve_variance=False,
     h=0.0, gamma=3.2, gamma_min=None, gamma_max=None,
-    need_planes=True,
+    need_planes=True, planes_layout="cube",
 ):
     """WOW whitening via the fused Pallas kernel (ops/pallas_wow.py),
     reading detail planes straight from the decompose group cubes
@@ -497,8 +505,11 @@ def _wow_body_fused(
         for s, row in zip(range(n_fast, n_scales + 1), out_rows):
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, row[:, None], s, axis=1)
+    elif planes_layout == "rows":
+        # separate plane arrays — no cube concat (see _wow_body_merged)
+        out = tuple(out_rows)
     else:
-        out = jnp.stack(out_rows)
+        out = stack_planes(out_rows)
     return recon, out
 
 
@@ -521,6 +532,7 @@ def _wow_body(
     smooth_fn=None,
     rops=None,
     n_dim: Optional[int] = None,
+    planes_layout="cube",
 ):
     """Per-scale whitening loop (watroo/utils.py:157-219), traced once.
 
@@ -581,8 +593,17 @@ def _wow_body(
         c = c * (w * power_norm / local_power)
         out_planes.append(c)
 
-    out = jnp.stack(out_planes)
-    recon = synthesize(out)
+    if planes_layout == "rows":
+        # separate plane arrays — no cube concat (see _wow_body_merged);
+        # the sequential adds fold in the same scale order as the
+        # synthesize reduction
+        out = tuple(out_planes)
+        recon = out_planes[0]
+        for c in out_planes[1:]:
+            recon = recon + c
+    else:
+        out = stack_planes(out_planes)
+        recon = synthesize(out)
 
     if h > 0:
         # gamma-blend tone mapping (watroo/utils.py:207-217)
@@ -602,7 +623,7 @@ def _wow_body(
         "sf", "n_scales", "weights", "whitening", "denoise_coefficients",
         "bilateral", "bilateral_scaling", "soft_threshold",
         "preserve_variance", "gamma", "gamma_min", "gamma_max", "h",
-        "has_noise", "axes", "fuse", "need_planes",
+        "has_noise", "axes", "fuse", "need_planes", "planes_layout",
     ),
 )
 def wow_core(
@@ -626,6 +647,7 @@ def wow_core(
     axes: Optional[Tuple[int, ...]] = None,
     fuse: bool = True,
     need_planes: bool = True,
+    planes_layout: str = "cube",
 ):
     """Fused decomposition + whitening from a raw image.  Returns
     ``(recon, planes)``.  ``fuse=False`` disables the Pallas fast paths
@@ -633,7 +655,11 @@ def wow_core(
     discard the coefficients) skips the whitened plane-cube HBM writes
     where the kernels support it and returns ``(recon, None)``; the
     reconstruction is bitwise-identical either way (same tile plans,
-    same fold order)."""
+    same fold order).  ``planes_layout="rows"`` returns the planes as a
+    tuple of n_scales+1 arrays instead of one stacked cube — the same
+    values without the cube concatenation (measured 7.2 ms of the 18.9
+    ms 4k² L10 pipeline); batched (3-D) fast paths always produce the
+    cube (the kernels write it batch-major directly)."""
     # NB: a fully-fused single-pass WOW kernel (decompose + power
     # smooth + whiten in one launch) was built, verified, and measured
     # ~60% SLOWER than the decompose+whiten kernel pair on v5e: its
@@ -659,7 +685,7 @@ def wow_core(
             return _wow_body_merged(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold,
-                need_planes=need_planes)
+                need_planes=need_planes, planes_layout=planes_layout)
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h,
                                  bilateral is not None):
@@ -671,7 +697,7 @@ def wow_core(
             return _wow_body_merged(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold,
-                need_planes=need_planes)
+                need_planes=need_planes, planes_layout=planes_layout)
         # preserve_variance / gamma blend need the materialized planes
         # (per-scale mean power feeds the kernel's factor table; the
         # gamma accumulator covers kernel scales only) — no deferral
@@ -691,7 +717,7 @@ def wow_core(
             bilateral=bilateral, bilateral_scaling=bilateral_scaling,
             preserve_variance=preserve_variance,
             h=h, gamma=gamma, gamma_min=gamma_min, gamma_max=gamma_max,
-            need_planes=need_planes,
+            need_planes=need_planes, planes_layout=planes_layout,
         )
     pieces, layout = decompose_pieces(
         data, n_scales, sf, axes=axes, bilateral=bilateral,
@@ -704,6 +730,7 @@ def wow_core(
         denoise_coefficients, bilateral is not None, soft_threshold,
         preserve_variance, gamma, gamma_min, gamma_max, h,
         rops=None if fuse else VmapSafeReduceOps(),
+        planes_layout=planes_layout,
     )
     # serving contract: need_planes=False always returns (recon, None);
     # XLA dead-code-eliminates the unconsumed plane stack
@@ -850,6 +877,7 @@ def wow(data,
         data, noise_arr,
         bilateral=sigma_bilateral,
         bilateral_scaling=bool(bilateral_scaling),
+        planes_layout="rows",
         **static)
     sf_compat = scaling_function(n_dims)
     coeffs = Coefficients(out_planes, sf_compat, bilateral)

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .filters import ScalingFunction
+from .layout import stack_planes
 
 __all__ = ["fused_decompose", "can_fuse", "plan_groups", "MAX_FUSED_LEVELS"]
 
@@ -714,4 +715,4 @@ def fused_decompose(
         x, level, sf, interpret=interpret, xla_tail=xla_tail)
     rows = [pieces[k][r] for s in range(level + 1)
             for (k, r) in [layout[s]]]
-    return jnp.stack(rows, axis=0)
+    return stack_planes(rows)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .layout import stack_planes
+
 __all__ = [
     "generalized_anscombe",
     "mad_noise",
@@ -244,4 +246,4 @@ def apply_denoise(
             else:
                 c = c * wgt
         out.append(c)
-    return jnp.stack(out)
+    return stack_planes(out)

@@ -28,6 +28,7 @@ from ..core.transform import normalize_bilateral
 from ..models.wow import _wow_body
 from ..ops.conv import _noncenter_offsets
 from ..ops.filters import ScalingFunction
+from ..ops.layout import stack_planes
 from .halo import halo_exchange_axis, halo_smooth_axis
 from .mesh import COL_AXIS, DATA_AXIS, ROW_AXIS
 from .reductions import (
@@ -179,7 +180,7 @@ def _decompose_local(
         planes.append(c - c_next)
         c = c_next
     planes.append(c)
-    return jnp.stack(planes)
+    return stack_planes(planes)
 
 
 def _specs(mesh: Mesh, batched: bool):
