@@ -181,5 +181,32 @@ def main():
         report("wow_core L10 end-to-end", timeit(f_wow, x), 23 * img_b)
 
 
+def probe_stack():
+    """Reproduction for ops/layout.py: jnp.stack (expand_dims +
+    concatenate) vs the reshape + concatenate form used by
+    stack_planes, on 11 4k² f32 planes."""
+    import numpy as np
+
+    from wavelets_tpu.ops.layout import stack_planes
+
+    rng = np.random.default_rng(0)
+    rows = [jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+            for _ in range(11)]
+    sync(rows[-1])
+    moved = 2 * 11 * 4096 * 4096 * 4
+
+    f_stack = jax.jit(lambda *r: jnp.stack(r, axis=0))
+    report("jnp.stack 11 planes", timeit(lambda _: f_stack(*rows),
+                                         rows[0]), moved)
+    f_fast = jax.jit(lambda *r: stack_planes(r))
+    report("stack_planes 11 planes", timeit(lambda _: f_fast(*rows),
+                                            rows[0]), moved)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "stack" in _sys.argv[1:]:
+        probe_stack()
+    else:
+        main()

@@ -155,13 +155,28 @@ def _spec_of(scaling_function) -> ScalingFunction:
     raise TypeError(f"Not a scaling function: {scaling_function!r}")
 
 
+def _warn_output_ignored(output, fn_name):
+    if output is not None:
+        import warnings
+
+        warnings.warn(
+            f"{fn_name}(output=...) is accepted for signature parity but "
+            "IGNORED: the engine is functional, the supplied buffer is "
+            "never filled (the reference writes the result into it, "
+            "watroo/wavelets.py:57-64).  Use the return value.",
+            stacklevel=3)
+
+
 def convolution(arr, scaling_function, s=0, output=None):
     """Dense separable dilated smoothing ≡ reference ``convolution``
     (watroo/wavelets.py:35-71), with per-ndim boundary conventions.
 
-    ``output`` is accepted for signature parity but ignored (functional
-    semantics; the result is returned)."""
-    del output
+    .. warning:: ``output`` is accepted for signature parity but
+       **ignored** — unlike the reference, the supplied buffer is never
+       filled (functional semantics); a caller relying on the filled
+       out-param would read a stale array, so passing one emits a
+       ``UserWarning``.  Use the return value."""
+    _warn_output_ignored(output, "convolution")
     arr = _as_device_array(arr)
     spec = _spec_of(scaling_function)
     return _conv.smooth(arr, spec, scale=s)
@@ -179,8 +194,9 @@ def atrous_convolution(image, kernel, bilateral_variance=None, s=0,
                        mode="symmetric", output=None):
     """Generic n-D à trous convolution + bilateral variant
     (watroo/wavelets.py:74-105).  ``kernel`` is the dense *undilated*
-    kernel (numpy)."""
-    del output
+    kernel (numpy).  ``output`` is ignored with a ``UserWarning`` — see
+    :func:`convolution`."""
+    _warn_output_ignored(output, "atrous_convolution")
     image = _as_device_array(image)
     if bilateral_variance is not None:
         bilateral_variance = _as_device_array(bilateral_variance)
@@ -196,7 +212,9 @@ class Coefficients:
     ``data`` is a ``(level+1, *shape)`` device array; ``np.sum(coeffs,
     axis=0)`` synthesis works through ``__array__``.  Unlike the reference
     the underlying array is immutable — ``denoise`` rebinds ``self.data``
-    instead of mutating in place.
+    instead of mutating in place, and the reference idiom
+    ``coeffs.data[s] *= mask`` raises (JAX arrays are immutable); write
+    ``coeffs[s] = coeffs[s] * mask`` (see ``__setitem__``) instead.
 
     Construction also accepts the planes as a tuple/list of per-scale
     arrays (the ``planes_layout="rows"`` form the WOW fast path emits —
@@ -206,10 +224,17 @@ class Coefficients:
     individual planes without triggering assembly."""
 
     def __init__(self, data, scaling_function, bilateral=None):
-        if isinstance(data, (tuple, list)):
-            self._rows = tuple(data)
+        if isinstance(data, (tuple, list)) and all(
+            isinstance(r, (jax.Array, np.ndarray)) for r in data
+        ):
+            # per-scale rows form; coerce numpy rows so every later
+            # access (.data, get_noise, significance) sees arrays
+            self._rows = tuple(
+                r if isinstance(r, jax.Array) else jnp.asarray(r)
+                for r in data)
             self._cube = None
         else:
+            # anything else (incl. nested Python lists) is a cube
             self._rows = None
             self._cube = (data if isinstance(data, jax.Array)
                           else jnp.asarray(data))
@@ -238,6 +263,27 @@ class Coefficients:
     def __len__(self):
         return (len(self._rows) if self._rows is not None
                 else len(self.data))
+
+    def __getitem__(self, s):
+        """Plane access: ``coeffs[s]`` ≡ ``coeffs.data[s]`` without
+        forcing the lazy cube assembly."""
+        if isinstance(s, (int, np.integer)) and self._rows is not None:
+            return self._rows[s]
+        return self.data[s]
+
+    def __setitem__(self, s, value):
+        """Functional substitute for the reference's in-place plane
+        mutation idiom ``coeffs.data[s] *= mask``
+        (watroo/wavelets.py:145-149).  JAX arrays are immutable, so
+        ``coeffs.data[s] *= mask`` raises; write
+        ``coeffs[s] = coeffs[s] * mask`` (or use
+        ``coeffs.data.at[s].multiply(mask)`` and rebind) instead."""
+        if self._rows is not None and isinstance(s, (int, np.integer)):
+            rows = list(self._rows)
+            rows[s] = jnp.asarray(value)
+            self._rows = tuple(rows)
+            return
+        self.data = self.data.at[s].set(jnp.asarray(value))
 
     def __array__(self, dtype=None, copy=None):
         out = np.asarray(self.data)

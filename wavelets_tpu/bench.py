@@ -9,6 +9,13 @@ feeds the next input, forcing sequential device execution) and the run
 ends with a jitted scalar reduction whose host transfer forces the whole
 chain; the separately-measured scalar sync round trip is subtracted.
 
+Cross-round comparability: since round 2 the measured program emits the
+coefficient planes in ``planes_layout="rows"`` form (n_scales+1 separate
+arrays — the layout ``wow()`` itself consumes); every plane is still
+computed and materialized, but the additional cube *concatenation*
+(~7 ms at 4k² L10 on v5e) that BENCH_r01 paid is no longer part of the
+program.  Compare r01 numbers accordingly.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

@@ -33,7 +33,51 @@ from ..ops.filters import ScalingFunction
 from ..ops.layout import stack_planes
 from ..ops.stats import mad_noise, mad_noise_frames, significance
 
-__all__ = ["wow", "wow_core", "wow_stack"]
+__all__ = ["wow", "wow_core", "wow_stack", "normalize_wow_params"]
+
+
+def normalize_wow_params(spec, n_scales, weights, denoise_coefficients,
+                         bilateral, h, n_dims, min_extent=None):
+    """Shared static parameter normalization for the three WOW front
+    doors (:func:`wow`, :func:`wow_stack`,
+    :func:`wavelets_tpu.parallel.sharded.sharded_wow`): auto scale count
+    from the smallest extent (watroo/utils.py:122-127), clamp to the
+    σ_e table length with the reference's warning (:135-138), weight /
+    denoise list padding (:160-170), and bilateral σ-list normalization
+    (:140-146) — one code path so parity changes land once.
+
+    ``min_extent=None`` skips the auto-derivation/max clamp (the
+    coefficients-reuse entry point, where ``n_scales`` is fixed by the
+    cube).  Returns ``(n_scales, weights, denoise, sigma_bilateral)``
+    with the lists as float tuples of length ``n_scales + 1``."""
+    denoise_coefficients = list(denoise_coefficients)
+    if min_extent is not None:
+        max_scales = int(np.round(
+            np.log2(min_extent) - np.log2(len(spec.taps))))
+        if n_scales is None:
+            n_scales = (max_scales if h < 1
+                        else len(denoise_coefficients))
+        elif n_scales > max_scales:
+            n_scales = max_scales
+    table_len = len(spec.sigma_e(n_dims, bilateral is not None))
+    if len(denoise_coefficients) >= table_len:
+        warnings.warn(
+            "Required number of scales larger than the maximum for "
+            f"scaling function. Using {table_len}.")
+        n_scales = table_len
+    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
+    w = list(copy.copy(weights))
+    if len(w) <= n_scales:
+        w.extend([1] * (n_scales - len(w) + 1))
+    d = denoise_coefficients
+    if len(d) < n_scales:
+        d.extend([0] * (n_scales - len(d)))
+    if len(d) == n_scales:
+        d.extend([1])
+    return (n_scales,
+            tuple(float(x) for x in w[:n_scales + 1]),
+            tuple(float(x) for x in d[:n_scales + 1]),
+            sigma_bilateral)
 
 
 class LocalReduceOps:
@@ -803,49 +847,26 @@ def wow(data,
             raise ValueError("Unsupported number of dimensions")
         data = _as_device_array(data)
         spec = _spec_of(scaling_function)
-        # auto scale count (watroo/utils.py:122-127)
-        max_scales = int(np.round(
-            np.log2(min(data.shape)) - np.log2(len(spec.taps))))
-        if n_scales is None:
-            n_scales = max_scales if h < 1 else len(denoise_coefficients)
-        elif n_scales > max_scales:
-            n_scales = max_scales
         n_dims = data.ndim
+        min_extent = min(data.shape)
     else:
         n_scales = len(data) - 1
-        n_dims = data.data[0].ndim
+        n_dims = data[0].ndim
         scaling_function = data.scaling_function.__class__
         spec = _spec_of(scaling_function)
+        min_extent = None
 
-    # clamp to σ_e table length (watroo/utils.py:135-138)
-    table_len = len(spec.sigma_e(n_dims, bilateral is not None))
-    if len(denoise_coefficients) >= table_len:
-        warnings.warn(
-            "Required number of scales larger than the maximum for scaling "
-            f"function. Using {table_len}.")
-        n_scales = table_len
-
-    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
-
-    # weight / denoise list padding (watroo/utils.py:160-170)
-    recomposition_weights = list(copy.copy(weights))
-    if len(recomposition_weights) <= n_scales:
-        recomposition_weights.extend(
-            [1] * (n_scales - len(recomposition_weights) + 1))
-    scale_denoise = list(copy.copy(denoise_coefficients))
-    if len(scale_denoise) < n_scales:
-        scale_denoise.extend([0] * (n_scales - len(scale_denoise)))
-    if len(scale_denoise) == n_scales:
-        scale_denoise.extend([1])
+    n_scales, weights_t, denoise_t, sigma_bilateral = normalize_wow_params(
+        spec, n_scales, weights, denoise_coefficients, bilateral, h,
+        n_dims, min_extent)
 
     has_noise = noise is not None
     static = dict(
         sf=spec,
         n_scales=n_scales,
-        weights=tuple(float(w) for w in recomposition_weights[:n_scales + 1]),
+        weights=weights_t,
         whitening=bool(whitening),
-        denoise_coefficients=tuple(
-            float(d) for d in scale_denoise[:n_scales + 1]),
+        denoise_coefficients=denoise_t,
         soft_threshold=bool(soft_threshold),
         preserve_variance=bool(preserve_variance),
         gamma=float(gamma),
@@ -913,37 +934,17 @@ def wow_stack(data, noise=None, with_coefficients=True, **kwargs):
     weights = list(kwargs.pop("weights", []))
     bilateral = kwargs.pop("bilateral", None)
 
-    frame_shape = data.shape[1:]
-    max_scales = int(np.round(
-        np.log2(min(frame_shape)) - np.log2(len(spec.taps))))
-    if n_scales is None:
-        n_scales = max_scales if h < 1 else len(denoise_coefficients)
-    elif n_scales > max_scales:
-        n_scales = max_scales
-    table_len = len(spec.sigma_e(2, bilateral is not None))
-    if len(denoise_coefficients) >= table_len:
-        warnings.warn(
-            "Required number of scales larger than the maximum for "
-            f"scaling function. Using {table_len}.")
-        n_scales = table_len
-
-    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
-    if len(weights) <= n_scales:
-        weights.extend([1] * (n_scales - len(weights) + 1))
-    if len(denoise_coefficients) < n_scales:
-        denoise_coefficients.extend(
-            [0] * (n_scales - len(denoise_coefficients)))
-    if len(denoise_coefficients) == n_scales:
-        denoise_coefficients.extend([1])
+    n_scales, weights_t, denoise_t, sigma_bilateral = normalize_wow_params(
+        spec, n_scales, weights, denoise_coefficients, bilateral, h,
+        n_dims=2, min_extent=min(data.shape[1:]))
 
     has_noise = noise is not None
     statics = dict(
         sf=spec,
         n_scales=n_scales,
-        weights=tuple(float(w) for w in weights[:n_scales + 1]),
+        weights=weights_t,
         whitening=bool(kwargs.pop("whitening", True)),
-        denoise_coefficients=tuple(
-            float(d) for d in denoise_coefficients[:n_scales + 1]),
+        denoise_coefficients=denoise_t,
         bilateral=sigma_bilateral,
         bilateral_scaling=bool(kwargs.pop("bilateral_scaling", False)),
         soft_threshold=bool(kwargs.pop("soft_threshold", True)),

@@ -8,7 +8,7 @@ streams at 400-660 GB/s (2.2-3.5 ms).  Every hot-path cube assembly in
 the package goes through :func:`stack_planes`, which is semantically
 ``jnp.stack(rows, axis=0)``.
 
-The probe lives in ``scripts/perf_probe.py`` (``probe_stack``).
+Reproduce with ``python scripts/perf_probe.py stack`` (``probe_stack``).
 """
 
 from typing import Sequence

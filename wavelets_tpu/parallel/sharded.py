@@ -13,7 +13,6 @@ in tests/test_sharded.py on a forced 8-device CPU mesh)."""
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -25,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.transform import normalize_bilateral
-from ..models.wow import _wow_body
+from ..models.wow import _wow_body, normalize_wow_params
 from ..ops.conv import _noncenter_offsets
 from ..ops.filters import ScalingFunction
 from ..ops.layout import stack_planes
@@ -259,27 +258,12 @@ def sharded_wow(
     spatial_shape = data.shape[-2:]
     n_data, n_rows, n_cols = _mesh_dims(mesh)
 
-    # static parameter normalization, as in models/wow.py (watroo
-    # conventions, utils.py:122-170)
-    max_scales = int(np.round(
-        math.log2(min(spatial_shape)) - math.log2(len(sf.taps))))
-    if n_scales is None:
-        n_scales = max_scales if h < 1 else len(denoise_coefficients)
-    elif n_scales > max_scales:
-        n_scales = max_scales
-    table_len = len(sf.sigma_e(2, bilateral is not None))
-    if len(denoise_coefficients) >= table_len:
-        n_scales = table_len
-
-    sigma_bilateral = normalize_bilateral(bilateral, n_scales)
-    rec_w = list(weights)
-    if len(rec_w) <= n_scales:
-        rec_w.extend([1] * (n_scales - len(rec_w) + 1))
-    dcs = list(denoise_coefficients)
-    if len(dcs) < n_scales:
-        dcs.extend([0] * (n_scales - len(dcs)))
-    if len(dcs) == n_scales:
-        dcs.extend([1])
+    # static parameter normalization shared with the single-device
+    # front doors — one code path, incl. the scale-clamp warning
+    # (watroo/utils.py:122-170)
+    n_scales, rec_w, dcs, sigma_bilateral = normalize_wow_params(
+        sf, n_scales, weights, denoise_coefficients, bilateral, h,
+        n_dims=2, min_extent=min(spatial_shape))
 
     has_noise = noise is not None
     noise_arr = (jnp.asarray(noise, data.dtype) if has_noise
@@ -295,9 +279,9 @@ def sharded_wow(
             bilateral_scaling)
         recon, out_planes = _wow_body(
             planes, noise_v, has_noise, sf, n_scales,
-            tuple(float(w) for w in rec_w[:n_scales + 1]),
+            rec_w,
             whitening,
-            tuple(float(d) for d in dcs[:n_scales + 1]),
+            dcs,
             sigma_bilateral is not None, soft_threshold, preserve_variance,
             float(gamma), gamma_min, gamma_max, float(h),
             smooth_fn=lambda p, s: _smooth_local(p, sf, s, n_rows, n_cols),
