@@ -196,28 +196,24 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
         if pallas_deep.can_deep(carry, sf, s, bilateral):
             carry_b = carry if batched else carry[None]
             thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            # both modes skip the in-kernel recon accumulation: XLA
+            # fuses the per-scale whitened-plane adds into one pass
+            # (fewer HBM moves than riding recon through every launch,
+            # measured), and serving keeps the bitwise-identical-recon
+            # contract by construction — the in-kernel add contracts
+            # `recon + wc·(w/lp)` into an FMA, one ulp off the XLA add.
+            # In serving mode the white plane is consumed only by the
+            # recon sum.
+            white, _, carry_b = pallas_deep.deep_whiten_step(
+                carry_b, None, thr,
+                sf=sf, scale=s, weight=float(weights[s]),
+                soft=soft_threshold,
+                masked=denoise_coefficients[s] != 0,
+                write_plane=True, interpret=interp)
+            w = white if batched else white[0]
             if write_planes:
-                # planes are materialized anyway: skip the in-kernel
-                # recon accumulation (saves a recon read+write per
-                # scale); XLA fuses the plane adds into one pass
-                white, _, carry_b = pallas_deep.deep_whiten_step(
-                    carry_b, None, thr,
-                    sf=sf, scale=s, weight=float(weights[s]),
-                    soft=soft_threshold,
-                    masked=denoise_coefficients[s] != 0,
-                    write_plane=True, interpret=interp)
-                w = white if batched else white[0]
                 rows.append(w)
-                recon = recon + w
-            else:
-                recon_b = recon if batched else recon[None]
-                _, recon_b, carry_b = pallas_deep.deep_whiten_step(
-                    carry_b, recon_b, thr,
-                    sf=sf, scale=s, weight=float(weights[s]),
-                    soft=soft_threshold,
-                    masked=denoise_coefficients[s] != 0,
-                    write_plane=False, interpret=interp)
-                recon = recon_b if batched else recon_b[0]
+            recon = recon + w
             carry = carry_b if batched else carry_b[0]
             continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",

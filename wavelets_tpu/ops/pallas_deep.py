@@ -31,20 +31,27 @@ anti-diagonal matmuls).  The residual plane's global-std normalization
 stays in XLA (one global reduction).
 
 Numerics match the XLA deferred-tail step exactly for unmasked scales
-(same tap fold order, same clamps); masked scales use the same
+(same tap fold order, same clamps; **bitwise on hardware**, verified
+per round by scripts/tpu_check.py — pallas *interpret* mode rounds the
+identical fold expressions with one extra FMA contraction, so CPU
+interpret tests compare to ≤1 ulp); masked scales use the same
 Abramowitz-Stegun erf as the fused whiten kernel (max err 1.5e-7).
 
-v2 (ring): the nine-window BlockSpec grid refetches every carry block
-up to nine times (no cross-slot reuse in the Mosaic pipeline) — ~9×
-read amplification, the dominant cost of the deep scales at L10.  The
-v2 kernel orders the grid by dilation *residue class*: blocks
-``i ≡ c (mod D/T)`` couple only with blocks of the same class, so
-consecutive class-ordered steps shift the nine-window set by one block
-and a manual-DMA ring buffer fetches each block exactly once.
-Symmetric reflection maps class ``c`` to class ``D/T−1−c``, so classes
-are streamed in mirror *pairs* sharing one ring: every reflected window
-is a row-flip of a block the pair has already fetched.  Read traffic
-drops from ~9× to ~1× of the carry (plus the recon pass)."""
+v3 (stream, round 3; supersedes the round-2 mirror-paired ring kernel —
+see git history): blocks ``i ≡ c (mod D/T)`` couple only with their own
+residue class, and the symmetric extension of a class is *periodic* —
+own blocks 0..M−1 followed by the mirror class's blocks in reverse
+order with rows flipped.  Each class therefore streams independently:
+a manual-DMA ring fetches every block once (extension blocks are
+fetched directly and row-flipped once at landing), a lookahead leg
+computes the chain smooth ONCE per block into a computed-smooth ring
+(the v2 kernel recomputed it 5×, once per power-smooth offset), and
+the power fold reads its five neighbors from that ring.  All mirrors
+are exact XOR-butterfly roll reversals on the VPU — the v2 kernel's
+anti-diagonal bf16×3 MXU matmuls ran at ~12% MXU efficiency on 16-row
+operands and cost ~0.5 ms/scale at 4k².  Measured per-scale cost at 4k²
+(planes mode): 1.39/1.29/1.33/1.59 ms (v2) → 0.54/0.43/0.72/1.29 ms
+(v3) for s = 6..9."""
 
 from __future__ import annotations
 
@@ -85,8 +92,12 @@ def deep_block_rows(H: int, W: int, D: int) -> int:
 def can_deep(carry: jax.Array, sf: ScalingFunction, scale: int,
              bilateral) -> bool:
     """Whether the fused deep-whiten step applies to this scale: plain
-    (non-bilateral) chain, f32, 2-D or frame-batched, dilation a whole
-    number of lane chunks, single-reflection geometry, feasible block."""
+    (non-bilateral) chain, f32, 2-D or frame-batched, lane-tileable
+    width, single-reflection geometry, and a feasible kernel — the v3
+    stream (``hw·2^s ≥ 32``: narrower mirrors hang the Mosaic roll
+    lowering, measured; s ≥ 4 for B3spline at any tileable H) or the
+    BlockSpec nine-window fallback (``hw·2^s`` a whole number of lane
+    chunks)."""
     if bilateral is not None or carry.dtype != jnp.float32:
         return False
     if carry.ndim not in (2, 3):
@@ -94,11 +105,15 @@ def can_deep(carry: jax.Array, sf: ScalingFunction, scale: int,
     H, W = carry.shape[-2:]
     D = 1 << scale
     hw = sf.half_width
-    if W % 128 or (hw * D) % 128:
+    Rc = hw * D
+    if W % 128:
         return False
     if 2 * hw * D > H:  # block reflection must stay single-bounce
         return False
-    return deep_block_rows(H, W, D) > 0
+    if (Rc >= 32 and H % D == 0 and (H // D) >= 2 * hw
+            and _stream_rows(H, W, D) > 0):
+        return True
+    return Rc % 128 == 0 and deep_block_rows(H, W, D) > 0
 
 
 def _deep_compute(blocks, ext, thr_b, taps, D: int, W: int,
@@ -208,30 +223,81 @@ def _make_deep_kernel(taps, T: int, W: int, D: int, NB: int,
     return kernel
 
 
-def _ring_rows(H: int, W: int, D: int) -> int:
-    """v2 block height: divides the dilation and the image height with
-    D/T ≥ 2 (mirror pairing needs an even class count) and a VMEM fit
-    for the ring footprint (2 rings of nblk+1 blocks + outputs + ext +
-    elementwise temps ≈ 36 T·W f32 buffers)."""
+def _rev_lanes(v, n: int):
+    """Exact lane (last-axis) reversal via an XOR butterfly of circular
+    rolls — pure data movement on the VPU.  Replaces the anti-diagonal
+    MXU matmul mirror (measured ~0.5 ms/scale of tiny 16-row matmuls at
+    ~12% MXU efficiency in the v2 ring kernel)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    s = n // 2
+    while s >= 1:
+        fwd = pltpu.roll(v, n - s, v.ndim - 1)   # out[i] = v[i + s]
+        bwd = pltpu.roll(v, s, v.ndim - 1)       # out[i] = v[i - s]
+        v = jnp.where((col & s) == 0, fwd, bwd)
+        s //= 2
+    return v
+
+
+def _rev_sublanes(v, n: int):
+    """Exact sublane (first-axis) reversal via the same XOR butterfly."""
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    s = n // 2
+    while s >= 1:
+        fwd = pltpu.roll(v, n - s, 0)
+        bwd = pltpu.roll(v, s, 0)
+        v = jnp.where((row & s) == 0, fwd, bwd)
+        s //= 2
+    return v
+
+
+def _stream_rows(H: int, W: int, D: int) -> int:
+    """v3 block height: divides the dilation and the image height, with
+    a VMEM fit for the stream footprint (carry ring 4hw+2 blocks +
+    cnext ring 2hw+1 + ext + revolving outputs + elementwise temps ≈ 30
+    T·W f32 buffers).  0 = infeasible."""
     for T in (32, 16, 8):
-        if D % T or H % T or (D // T) < 2:
+        if D % T or H % T:
             continue
-        if 36 * T * W * 4 <= _VMEM_BUDGET:
+        if 30 * T * W * 4 <= _VMEM_BUDGET:
             return T
     return 0
 
 
-def _make_ring_kernel(taps, T: int, W: int, D: int, M: int,
-                      weight: float, soft: bool, masked: bool,
-                      write_plane: bool, accum: bool = True):
+def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
+                        weight: float, soft: bool, masked: bool,
+                        write_plane: bool, accum: bool = True):
+    """v3 (stream): one residue class per grid slice, processed as a
+    single sequential stream whose symmetric extension is materialized
+    at fetch time.
+
+    Key identities over v2's mirror-paired rings:
+
+    * The reflected extension of class ``c`` is the mirror class
+      ``D/T−1−c`` with blocks in reverse order and rows flipped, and it
+      is **periodic** — so a class is self-contained: extension blocks
+      are fetched directly from HBM (6 extra block reads per class) and
+      row-flipped once at fetch time with the exact butterfly reversal.
+      No per-step value flips, no pairing.
+    * The chain smooth is computed ONCE per block (v2 recomputed it 5×,
+      once per power-smooth offset): a lookahead leg computes
+      ``c_next(t+hw)`` into a computed-smooth ring, and the power fold
+      at block ``t`` reads its five neighbors from the ring.  Because
+      reflection commutes with the symmetric tap folds, the smooth of
+      the flipped extension equals the flip of the mirror's smooth
+      bitwise — the extension needs no special-case arithmetic.
+
+    Tap fold order, clamps, and masking are identical to
+    :func:`_deep_compute` (bitwise vs the XLA deferred-tail step)."""
     hw = (len(taps) - 1) // 2
-    nblk = 4 * hw + 1
-    RING = nblk + 1
+    Rc = hw * D
     DT = D // T
+    NC = 4 * hw + 2          # carry ring slots
+    NN = 2 * hw + 1          # computed-smooth ring slots
+    LAST = M + 2 * hw - 1    # last stream position fetched
 
     def kernel(*refs):
         thr_ref = refs[0]
-        carry = refs[1]
+        carry_hbm = refs[1]
         refs = refs[2:]
         if accum:
             recon_ref, cnext_ref, recon_out = refs[:3]
@@ -242,73 +308,126 @@ def _make_ring_kernel(taps, T: int, W: int, D: int, M: int,
             refs = refs[1:]
         plane_ref = refs[0] if write_plane else None
         s0 = 1 if write_plane else 0
-        ring, ext, sems = refs[s0:s0 + 3]
+        ring, cnr, ext, sems = refs[s0:s0 + 4]
 
         b = pl.program_id(0)
-        p = pl.program_id(1)
-        k = pl.program_id(2)
-        cls = pl.program_id(3)
-        c_pair = (p, DT - 1 - p)
+        c = pl.program_id(1)
+        t = pl.program_id(2)
 
-        def dma(side, j, action):
-            # class-step j of pair side `side` → row block c + j·DT
-            c_val = c_pair[side]
-            slot = (j % RING if isinstance(j, int)
-                    else jax.lax.rem(j, jnp.int32(RING)))
-            r0 = pl.multiple_of((c_val + j * DT) * T, 8)
-            cp = pltpu.make_async_copy(
-                carry.at[b, pl.ds(r0, T), :],
-                ring.at[side, slot],
-                sems.at[side, slot])
-            getattr(cp, action)()
+        def slot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + 2 * hw, jnp.int32), jnp.int32(NC))
 
-        # fetch/wait once per class-step (the cls==0 leg of each pair
-        # step); each block is DMA'd exactly once per pair
-        @pl.when(jnp.logical_and(cls == 0, k == 0))
+        def cslot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + hw, jnp.int32), jnp.int32(NN))
+
+        def pos_dma(p):
+            # absolute row block of stream position p: own blocks for
+            # 0 <= p < M, single-bounce reflected otherwise (flip
+            # applied after landing)
+            a = c + jnp.asarray(p, jnp.int32) * DT
+            a = jnp.where(a < 0, -a - 1, a)
+            a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
+            sl = slot(p)
+            r0 = pl.multiple_of(a * T, 8)
+            return pltpu.make_async_copy(
+                carry_hbm.at[b, pl.ds(r0, T), :],
+                ring.at[sl], sems.at[sl])
+
+        def flip_ext(p, is_ext):
+            def do():
+                sl = slot(p)
+                ring[sl] = _rev_sublanes(ring[sl], T)
+
+            if isinstance(is_ext, bool):
+                if is_ext:
+                    do()
+            else:
+                pl.when(is_ext)(do)
+
+        def vblk(p):
+            return ring[slot(p)]
+
+        E0 = max(Rc, 128)
+
+        def wpass(val):
+            # dilated column pass with in-kernel symmetric mirror; the
+            # edges are exact butterfly reversals (pure VPU movement).
+            # val sits at lane-aligned offset E0; for Rc < 128 the
+            # mirror is one aligned 128-wide reversal whose trailing
+            # 128−Rc columns land outside the read range (reads start
+            # at E0 − hw·D = 128 − Rc), so every ext store is aligned.
+            ext[:, E0:E0 + W] = val
+            if Rc >= 128:
+                ext[:, 0:Rc] = _rev_lanes(val[:, 0:Rc], Rc)
+                ext[:, E0 + W:E0 + W + Rc] = _rev_lanes(
+                    val[:, W - Rc:W], Rc)
+            else:
+                ext[:, 0:128] = _rev_lanes(val[:, 0:128], 128)
+                ext[:, E0 + W:E0 + W + 128] = _rev_lanes(
+                    val[:, W - 128:W], 128)
+            out = val * taps[hw]
+            for j in range(1, hw + 1):
+                left = ext[:, E0 - j * D:E0 - j * D + W]
+                right = ext[:, E0 + j * D:E0 + j * D + W]
+                out = out + taps[hw + j] * (left + right)
+            return out
+
+        def compute_cnext(p):
+            # row fold order matches ops/conv.separable_smooth_axis
+            h = vblk(p) * taps[hw]
+            for j in range(1, hw + 1):
+                h = h + taps[hw + j] * (vblk(p - j) + vblk(p + j))
+            cnr[cslot(p)] = wpass(h)
+
+        # ---- prologue: head extension + warm-up ----------------------
+        @pl.when(t == 0)
         def _():
-            for j in range(min(2 * hw + 2, M)):
-                dma(0, j, "start")
-                dma(1, j, "start")
-            for j in range(min(2 * hw + 1, M)):
-                dma(0, j, "wait")
-                dma(1, j, "wait")
+            for p in range(-2 * hw, 2 * hw + 2):
+                pos_dma(p).start()
+            for p in range(-2 * hw, 2 * hw + 1):
+                pos_dma(p).wait()
+                flip_ext(p, p < 0 or p >= M)
+            for p in range(-hw, hw + 1):
+                compute_cnext(p)
 
-        @pl.when(jnp.logical_and(cls == 0, k > 0))
+        # ---- steady state: fetch ahead + one lookahead smooth --------
+        @pl.when(t > 0)
         def _():
-            jf = k + 2 * hw + 1
-
-            @pl.when(jf <= M - 1)
+            @pl.when(t <= M - 2)
             def _():
-                dma(0, jf, "start")
-                dma(1, jf, "start")
+                pos_dma(t + 2 * hw + 1).start()
 
-            jw = k + 2 * hw
+            pw = t + 2 * hw
+            pos_dma(pw).wait()
+            flip_ext(pw, pw >= M)
+            compute_cnext(t + hw)
 
-            @pl.when(jw <= M - 1)
-            def _():
-                dma(0, jw, "wait")
-                dma(1, jw, "wait")
+        # ---- whiten block t ------------------------------------------
+        ca_c = vblk(t) - cnr[cslot(t)]
+        tp = (ca_c * ca_c) * taps[hw]
+        for j in range(1, hw + 1):
+            ca_m = vblk(t - j) - cnr[cslot(t - j)]
+            ca_p = vblk(t + j) - cnr[cslot(t + j)]
+            tp = tp + taps[hw + j] * (ca_m * ca_m + ca_p * ca_p)
+        lp = wpass(tp)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
 
-        # assemble the nine windows: in-range class-steps come from the
-        # own ring; reflected steps are row-flips of the mirror ring
-        # (symmetric pad maps class c to class DT−1−c)
-        JT = _flip_mats(T, jnp.float32)
-        blocks = []
-        for m in range(-2 * hw, 2 * hw + 1):
-            j = k + m
-            edge = jnp.logical_or(j < 0, j >= M)
-            jj = jnp.where(j < 0, -j - 1,
-                           jnp.where(j >= M, 2 * M - 1 - j, j))
-            slot = jax.lax.rem(jj.astype(jnp.int32), jnp.int32(RING))
-            own = ring[cls, slot]
-            mir = ring[1 - cls, slot]
-            blocks.append(jnp.where(edge, _exact_dot_left(JT, mir), own))
+        wc = ca_c
+        if masked:
+            thr_b = thr_ref[b]
+            safe_t = jnp.where(thr_b == 0, jnp.float32(1.0), thr_b)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
+        white = wc * (weight / lp)
 
-        white, cnext = _deep_compute(blocks, ext, thr_ref[b], taps, D,
-                                     W, weight, soft, masked)
         if accum:
             recon_out[0] = recon_ref[0] + white
-        cnext_ref[0] = cnext
+        cnext_ref[0] = cnr[cslot(t)]
         if write_plane:
             plane_ref[0] = white
 
@@ -356,15 +475,14 @@ def deep_whiten_step(
     hw = sf.half_width
     Rc = hw * D
 
-    T2 = _ring_rows(H, W, D)
-    if T2 and H % D == 0 and (H // D) >= 2 * hw:
+    T2 = _stream_rows(H, W, D)
+    if T2 and Rc >= 32 and H % D == 0 and (H // D) >= 2 * hw:
         M = H // D
         DT = D // T2
-        grid = (B, DT // 2, M, 2)
+        grid = (B, DT, M)
 
-        def omap(b, p, k, cls):
-            c = jnp.where(cls == 0, p, DT - 1 - p)
-            return (b, c + k * DT, 0)
+        def omap(b, c, t):
+            return (b, c + t * DT, 0)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]
@@ -383,9 +501,10 @@ def deep_whiten_step(
                 jax.ShapeDtypeStruct((B, H, W), jnp.float32))
             out_specs.append(pl.BlockSpec((1, T2, W), omap))
 
-        RING = 4 * hw + 2
-        kernel = _make_ring_kernel(sf.taps, T2, W, D, M, float(weight),
-                                   soft, masked, write_plane, accum)
+        NC = 4 * hw + 2
+        NN = 2 * hw + 1
+        kernel = _make_stream_kernel(sf.taps, T2, W, D, M, float(weight),
+                                     soft, masked, write_plane, accum)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -393,15 +512,16 @@ def deep_whiten_step(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[
-                pltpu.VMEM((2, RING, T2, W), jnp.float32),
-                pltpu.VMEM((T2, W + 2 * Rc), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, RING)),
+                pltpu.VMEM((NC, T2, W), jnp.float32),
+                pltpu.VMEM((NN, T2, W), jnp.float32),
+                pltpu.VMEM((T2, W + 2 * max(Rc, 128)), jnp.float32),
+                pltpu.SemaphoreType.DMA((NC,)),
             ],
             interpret=interpret,
         )(*operands)
     else:
         T = deep_block_rows(H, W, D)
-        if T == 0:
+        if T == 0 or Rc % 128:
             raise ValueError("deep_whiten_step: no feasible block (use "
                              "can_deep before dispatch)")
         NB = H // T
