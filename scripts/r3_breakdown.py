@@ -38,8 +38,11 @@ def timeit(fn, v, iters=20):
 
 H = Wd = 4096
 L = 10
-groups, covered = pallas_conv.plan_wow_groups(H, Wd, 6, 2, 4)
-print("plan_wow_groups(4k, 6):", groups, "covered", covered, flush=True)
+n_fast = W._deep_start(x4k, B3SPLINE)
+print("deep_start:", n_fast, flush=True)
+groups, covered = pallas_conv.plan_wow_groups(H, Wd, n_fast, 2, 4)
+print(f"plan_wow_groups(4k, {n_fast}):", groups, "covered", covered,
+      flush=True)
 
 # merged groups timing, one at a time (cur chains via same-shape output)
 for off, g in groups:
@@ -64,13 +67,13 @@ for off, g in groups:
     print(f"  serving (need_cube=False): {timeit(mg_nc, x4k):.2f} ms",
           flush=True)
 
-# deep steps s=6..9, planes mode (accum=None) and serving mode
+# deep steps, planes mode (accum=None) and serving mode
 xb = x4k[None]
-for s in (6, 7, 8, 9):
+for s in range(n_fast, L):
     D = 1 << s
-    T2 = pallas_deep._ring_rows(H, Wd, D)
+    T2 = pallas_deep._stream_rows(H, Wd, D)
     Tb = pallas_deep.deep_block_rows(H, Wd, D)
-    print(f"s={s}: ring T={T2} (grid steps {H//T2 if T2 else 0}), "
+    print(f"s={s}: stream T={T2} (grid steps {H//T2 if T2 else 0}), "
           f"blockspec T={Tb}", flush=True)
 
     @jax.jit

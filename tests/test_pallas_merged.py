@@ -62,7 +62,7 @@ def test_wow_group_matches_xla(img32, off, g):
     # carry row bitwise vs the decompose chain
     assert np.array_equal(np.asarray(cube[g]),
                           np.asarray(planes_all[off + g]))
-    d = float(jnp.abs(acc - jnp.sum(cube[:g], 0)).max())
+    d = float(jnp.abs(acc - sum(cube[:g])).max())
     assert d < 5e-6 * max(scale, 1)
 
 

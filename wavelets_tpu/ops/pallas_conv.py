@@ -167,9 +167,16 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
 
     def kernel(*refs):
         if whiten is not None:
-            (fac_ref, thr_ref, x_hbm, out_ref, acc_ref,
-             bufs, tmp_ref, sm_ref, pw_ref) = refs[:9]
-            rest = refs[9:]
+            # whitened planes leave as *separate* outputs (one array per
+            # row) so rows-layout consumers pay zero slice copies — a
+            # single cube output forced one HBM round trip per fast
+            # plane downstream (measured ~0.35 ms/plane at 4k²)
+            n_rows = (level + 1) if whiten[2] else 1
+            fac_ref, thr_ref, x_hbm = refs[:3]
+            outs = refs[3:3 + n_rows]
+            acc_ref = refs[3 + n_rows]
+            bufs, tmp_ref, sm_ref, pw_ref = refs[4 + n_rows:8 + n_rows]
+            rest = refs[8 + n_rows:]
         else:
             x_hbm, out_ref, bufs, tmp_ref, sm_ref = refs[:5]
             rest = refs[5:]
@@ -337,12 +344,16 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                     wc = wc * jnp.where(thr == 0, jnp.float32(1.0), mask)
                 white = wc * (fac_ref[s] / lp)
                 if planes:
-                    out_ref[s, 0] = white.astype(out_ref.dtype)
+                    outs[s][0] = white.astype(outs[s].dtype)
                 acc = acc + white
             refs = [sm, tmp, cur]  # sm becomes cur; old cur is reusable
             cur = refs[0]
-        out_ref[level if planes else 0, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
-        if whiten is not None:
+        carry_out = (outs[level if planes else 0]
+                     if whiten is not None else None)
+        if whiten is None:
+            out_ref[level, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
+        else:
+            carry_out[0] = cur[Rr:Rr + TH, Rc:Rc + TW]
             acc_ref[0] = acc.astype(acc_ref.dtype)
 
     return kernel
@@ -521,16 +532,19 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
                      need_cube: bool = True,
                      interpret: bool = False):
     """Fused decompose+whiten of ``g`` scales at dilation base
-    ``2^offset``: returns ``(cube (g+1, B, H, W), acc (B, H, W))`` where
-    rows 0..g−1 are *whitened* detail planes, row g the raw carry, and
-    ``acc`` the partial reconstruction Σ whitened.  The raw detail
-    planes never touch HBM.  With ``need_cube=False`` (serving paths
-    that discard coefficients) the cube shrinks to the single carry row
-    — g plane writes per group are skipped; the tile plan (and thus the
-    fold order and every emitted value) is unchanged.  Dtype-generic
-    (f32 / bf16: the convs accumulate in f32 but inter-pass buffers
-    round to the input dtype, matching the dtype-preserving engine);
-    dispatch is gated in models/wow.py."""
+    ``2^offset``: returns ``(rows, acc)`` where ``rows`` is a tuple of
+    g+1 arrays (shape of ``x``) — whitened detail planes 0..g−1 plus
+    the raw carry at index g — and ``acc`` the partial reconstruction
+    Σ whitened.  The raw detail planes never touch HBM, and each output
+    row is its own array (a single cube output forced one slice-copy
+    round trip per plane on the rows-layout path).  With
+    ``need_cube=False`` (serving paths that discard coefficients)
+    ``rows`` shrinks to the single carry — g plane writes per group are
+    skipped; the tile plan (and thus the fold order and every emitted
+    value) is unchanged.  Dtype-generic (f32 / bf16: the convs
+    accumulate in f32 but inter-pass buffers round to the input dtype,
+    matching the dtype-preserving engine); dispatch is gated in
+    models/wow.py."""
     batched = x.ndim == 3
     xb = x if batched else x[None]
     B, H, W = xb.shape
@@ -557,29 +571,27 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
     if reuse:
         scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
-    cube, acc = pl.pallas_call(
+    plane_spec = pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((n_rows, B, H, W), dt),
-                   jax.ShapeDtypeStruct((B, H, W), dt)),
+        out_shape=tuple([jax.ShapeDtypeStruct((B, H, W), dt)]
+                        * (n_rows + 1)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((n_rows, 1, TH, TW),
-                         lambda b, i, j: (0, b, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
-                         memory_space=pltpu.VMEM)),
+        out_specs=(plane_spec,) * (n_rows + 1),
         scratch_shapes=scratch,
         interpret=interpret,
     )(factors.astype(jnp.float32),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
                        (g, B)),
       xp)
+    rows, acc = outs[:n_rows], outs[n_rows]
     if batched:
-        return cube, acc
-    return cube[:, 0], acc[0]
+        return tuple(rows), acc
+    return tuple(r[0] for r in rows), acc[0]
 
 
 def plan_wow_groups(H: int, W: int, level: int, hw: int,
