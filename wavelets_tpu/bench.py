@@ -115,12 +115,42 @@ def main():
     dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt
 
+    # serving mode: recon only (need_planes=False) — the coefficient
+    # planes are never materialized (kernels skip their plane writes);
+    # the reconstruction is bitwise-identical to the rows run
+    serve = jax.jit(lambda v: wow_core(v, zero, need_planes=False,
+                                       **statics)[0])
+    float(ssum(serve(data)))  # sync (block_until_ready is a no-op here)
+    t0 = time.perf_counter()
+    x = data
+    for _ in range(iters):
+        x = serve(x)
+    float(ssum(x))
+    serving_fps = 1.0 / ((time.perf_counter() - t0 - rtt) / iters)
+
+    # batched serving: 4 x 4k frame stack, auto-6-scale, per-frame
+    # statistics, coefficients discarded (process_stack fast mode)
+    from wavelets_tpu.models.wow import wow_stack
+    stack = jnp.stack([data, data * 0.5, data + 1.0, data * 2.0])
+    fstack = jax.jit(lambda v: wow_stack(v, n_scales=6,
+                                         with_coefficients=False)[0])
+    float(ssum(fstack(stack)))  # sync
+    si = 10
+    t0 = time.perf_counter()
+    y = stack
+    for _ in range(si):
+        y = fstack(y)
+    float(ssum(y))
+    stack_fps = 4.0 * si / (time.perf_counter() - t0 - rtt)
+
     watchdog.cancel()
     print(json.dumps({
         "metric": "wow_4k_auto10scale_frames_per_s_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 1),
+        "serving_l10_recon_only_fps": round(serving_fps, 3),
+        "stack4_l6_serving_fps": round(stack_fps, 3),
     }))
 
 
