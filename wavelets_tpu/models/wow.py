@@ -122,12 +122,18 @@ class VmapSafeReduceOps(LocalReduceOps):
 
 _LOCAL_OPS = LocalReduceOps()
 
-#: dispatch bf16 inputs through the merged decompose+whiten kernels
-#: (kernels are dtype-generic and interpret-verified; flip after the
-#: hardware A/B against the XLA bf16 path — round 1 measured pure-XLA
-#: bf16 faster than the *pair* hybrid, but the merged path has since
-#: halved its traffic)
-BF16_MERGED = False
+#: dispatch bf16 inputs through the merged decompose+whiten kernels.
+#: Hardware A/B (4k² L6 known-noise denoise [5,2], v5e, 2026-08-19,
+#: 30 chained iters, sync-RTT subtracted): XLA bf16 5.34 ms (187 fps)
+#: vs MERGED 5.00 ms (200 fps; no-planes 4.90 ms) — the merged path
+#: wins, max recon |Δ| 6.3e-2 on O(14) data ≈ 4.5e-3 relative (bf16
+#: rounding of inter-pass buffers; the engine is dtype-preserving,
+#: watroo/wavelets.py:297).  Round 1's opposite result held for the
+#: *pair* hybrid, whose whiten kernel re-read the planes from HBM.
+#: NB f32 dispatch measures 4.25 ms on the same config — bf16 input
+#: halves traffic but pays VPU convert ops and loses the deep-scale
+#: kernels; cast to f32 when throughput matters more than memory.
+BF16_MERGED = True
 
 
 def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
