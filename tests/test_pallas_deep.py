@@ -220,3 +220,68 @@ def test_deep_step_nonring_geometry(rng):
     d = float(jnp.abs(white[0] - ref_w).max())
     scale = float(jnp.abs(ref_w).max())
     assert d < 5e-6 * max(scale, 1)
+
+
+@pytest.mark.parametrize("s", [6, 7])
+def test_deep_whiten_plane_matches_xla(img32, s):
+    """Power-only kernel (materialized plane, coefficients-reuse deep
+    scales) vs the XLA whiten_detail expression."""
+    from wavelets_tpu.ops.pallas_deep import (can_deep_plane,
+                                              deep_whiten_plane)
+
+    assert can_deep_plane(img32[None], B3SPLINE, s)
+    white = deep_whiten_plane(
+        img32[None], jnp.zeros((1,)), sf=B3SPLINE, scale=s, weight=1.5,
+        masked=False, interpret=True)
+
+    @jax.jit
+    def ref(c):
+        lp = smooth(c * c, B3SPLINE, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+        return c * (1.5 / lp)
+
+    ref_w = ref(img32)
+    d = float(jnp.abs(white[0] - ref_w).max())
+    scale = float(jnp.abs(ref_w).max())
+    assert d < 5e-6 * max(scale, 1)
+
+
+def test_deep_whiten_plane_masked(rng):
+    from wavelets_tpu.ops.stats import significance
+    from wavelets_tpu.ops.pallas_deep import deep_whiten_plane
+
+    stack = jnp.asarray(rng.normal(size=(2, 512, 512)).astype(np.float32))
+    thr = jnp.asarray([0.7, 0.0], jnp.float32)
+    for soft in (True, False):
+        white = deep_whiten_plane(
+            stack, thr, sf=B3SPLINE, scale=6, weight=2.0, soft=soft,
+            masked=True, interpret=True)
+        for b in range(2):
+            c = stack[b]
+            lp = smooth(c * c, B3SPLINE, scale=6)
+            lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+            t = float(thr[b])
+            m = c
+            if t != 0:
+                if soft:
+                    m = c * jax.scipy.special.erf(jnp.abs(c) / t)
+                else:
+                    m = c * (jnp.abs(c) > t).astype(jnp.float32)
+            ref_w = m * (2.0 / lp)
+            d = float(jnp.abs(white[b] - ref_w).max())
+            scale = float(jnp.abs(ref_w).max())
+            assert d < 5e-6 * max(scale, 1), (b, soft, d)
+
+
+def test_can_deep_plane_gates():
+    from wavelets_tpu.ops.pallas_deep import can_deep_plane
+
+    x = jnp.zeros((1, 512, 512), jnp.float32)
+    assert can_deep_plane(x, B3SPLINE, 6)
+    assert can_deep_plane(x, B3SPLINE, 7)       # 2hw*D == H edge
+    assert can_deep_plane(x, B3SPLINE, 4)       # Rc = 32 floor
+    assert not can_deep_plane(x, B3SPLINE, 8)   # double bounce
+    assert not can_deep_plane(x, B3SPLINE, 3)   # Rc = 16: roll hazard
+    assert not can_deep_plane(x.astype(jnp.float64), B3SPLINE, 6)
+    assert not can_deep_plane(
+        jnp.zeros((1, 500, 512), jnp.float32), B3SPLINE, 6)  # H % D

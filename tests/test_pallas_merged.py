@@ -286,3 +286,29 @@ def test_wow_body_fused_preserve_variance_batched(rng):
     scale = float(jnp.max(jnp.abs(ref_r)))
     assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
     assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)
+
+
+def test_reuse_pieces_rows_form(img32):
+    """The coefficients-reuse entry presents the plane rows as one
+    piece each (layout (s, 0)) to the fused whiten
+    (models/wow.py _wow_from_planes_core); golden vs the XLA body."""
+    level = 8
+    planes = decompose(img32, level, B3SPLINE, use_pallas=False)
+    dcoef = (5.0, 2.0) + (0.0,) * (level - 2) + (1.0,)
+    ref_r, ref_p = W._wow_body(
+        planes, jnp.zeros(()), False, B3SPLINE, level,
+        (1.0,) * (level + 1), True, dcoef, False, True, False, 3.2,
+        None, None, 0.0)
+    pieces = tuple(planes[s][None] for s in range(level + 1))
+    layout = tuple((s, 0) for s in range(level + 1))
+    got_r, got_p = W._wow_body_fused(
+        pieces, layout, None, jnp.zeros(()), False, B3SPLINE, level,
+        (1.0,) * (level + 1), dcoef, True, planes_layout="rows")
+    scale = float(jnp.abs(ref_r).max())
+    d = float(jnp.abs(got_r - ref_r).max())
+    assert d < 5e-6 * max(scale, 1)
+    assert len(got_p) == level + 1
+    for s in range(level + 1):
+        d = float(jnp.abs(got_p[s] - ref_p[s]).max())
+        sc = float(jnp.abs(ref_p[s]).max())
+        assert d < 5e-6 * max(sc, 1), (s, d)

@@ -486,14 +486,33 @@ def _wow_body_fused(
     # the fast planes never relayout
     out_rows = [] if (batched or not need_planes) else [
         whitened[s, 0] for s in range(n_fast)]
-    # materialized deep scales: XLA path (halo exceeds the VMEM window)
+    # materialized deep scales (the coefficients-reuse entry and any
+    # config whose deep planes already exist): power-only stream kernel
+    # when the geometry admits it, XLA otherwise.  preserve_variance
+    # needs the traced per-scale norm in the factor and gamma needs the
+    # masked-unwhitened plane — both stay on the XLA expression.
+    from ..ops import pallas_deep
+
+    interp = jax.default_backend() == "cpu"
     for s in range(n_fast, tail_start):
-        c, masked = whiten_detail(plane(s), s)
+        c = plane(s)
+        if (not preserve_variance and gamma_scaled is None
+                and pallas_deep.can_deep_plane(
+                    c if batched else c[None], sf, s)):
+            cb = c if batched else c[None]
+            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            white = pallas_deep.deep_whiten_plane(
+                cb, thr, sf=sf, scale=s, weight=float(weights[s]),
+                soft=soft_threshold,
+                masked=denoise_coefficients[s] != 0, interpret=interp)
+            c = white if batched else white[0]
+        else:
+            c, masked = whiten_detail(c, s)
+            if gamma_scaled is not None:
+                gamma_scaled = gamma_scaled + masked
         if need_planes:
             out_rows.append(c)
         recon = recon + c
-        if gamma_scaled is not None:
-            gamma_scaled = gamma_scaled + masked
     # deferred tail scales: smooth carry chains without materializing
     # unwhitened detail planes (the chain smooth is bilateral when the
     # transform is; the *power* smooth stays plain, watroo/utils.py:194)
@@ -792,7 +811,7 @@ def wow_core(
     ),
 )
 def _wow_from_planes_core(
-    planes: jax.Array,
+    planes,
     noise: jax.Array,
     *,
     sf: ScalingFunction,
@@ -809,10 +828,43 @@ def _wow_from_planes_core(
     h: float,
     has_noise: bool,
 ):
+    """Whitening from a precomputed coefficient set (the
+    ``wow(Coefficients)`` reuse entry, watroo/utils.py:128-133,152-155).
+    ``planes`` is the (n_scales+1, H, W) cube or — the lazy rows form
+    ``wow`` itself emits — a tuple of n_scales+1 per-scale arrays.
+
+    2-D f32 tileable inputs ride the fused Pallas whiten
+    (ops/pallas_wow.py) by presenting the planes as decompose *pieces*:
+    the cube is one piece with ``layout[s] = (0, s)``; rows are one
+    piece each with ``layout[s] = (s, 0)``.  ``bilateral`` here is only
+    a flag (the chain is already decomposed; the power smooth is plain
+    either way, watroo/utils.py:194) — it selects the σ_e table inside
+    the fused body via a placeholder σ list.  Everything else (CPU,
+    volumes, odd shapes, f64) runs the XLA body."""
+    rows = planes if isinstance(planes, tuple) else None
+    first = rows[0] if rows is not None else planes[0]
+    if _can_fuse_whiten(first, None, n_scales, whitening,
+                        preserve_variance, h, bilateral):
+        if rows is not None:
+            pieces = tuple(r[None] for r in rows)
+            layout = tuple((s, 0) for s in range(n_scales + 1))
+        else:
+            pieces = (planes,)
+            layout = tuple((0, s) for s in range(n_scales + 1))
+        return _wow_body_fused(
+            pieces, layout, None, noise, has_noise, sf, n_scales,
+            weights, denoise_coefficients, soft_threshold,
+            bilateral=(1.0,) * (n_scales + 1) if bilateral else None,
+            preserve_variance=preserve_variance,
+            h=h, gamma=gamma, gamma_min=gamma_min, gamma_max=gamma_max,
+            planes_layout="rows",
+        )
+    cube = stack_planes(list(planes)) if rows is not None else planes
     return _wow_body(
-        planes, noise, has_noise, sf, n_scales, weights, whitening,
+        cube, noise, has_noise, sf, n_scales, weights, whitening,
         denoise_coefficients, bilateral, soft_threshold,
         preserve_variance, gamma, gamma_min, gamma_max, h,
+        planes_layout="rows" if rows is not None else "cube",
     )
 
 
@@ -879,11 +931,13 @@ def wow(data,
     )
 
     if from_coefficients:
-        planes = data.data
+        # lazy rows pass through as-is — assembling the cube here would
+        # cost the full concat the rows form exists to avoid
+        planes = (data._rows if data._rows is not None else data.data)
         noise_arr = (jnp.asarray(noise) if has_noise
                      else (jnp.asarray(data.noise)
                            if data.noise is not None
-                           else jnp.zeros((), planes.dtype)))
+                           else jnp.zeros((), data[0].dtype)))
         if data.noise is not None:
             static["has_noise"] = True
         recon, out_planes = _wow_from_planes_core(

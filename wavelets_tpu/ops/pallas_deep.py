@@ -572,3 +572,198 @@ def deep_whiten_step(
     recon_out = outs.pop(0) if accum else None
     white = outs.pop(0) if write_plane else None
     return white, recon_out, cnext
+
+
+def _plane_rows(H: int, W: int, D: int) -> int:
+    """Power-only block height (footprint ≈ 16 T·W f32 buffers: 2hw+2
+    ring slots + ext + output windows + temps).  0 = infeasible."""
+    for T in (32, 16, 8):
+        if D % T or H % T:
+            continue
+        if 16 * T * W * 4 <= _VMEM_BUDGET:
+            return T
+    return 0
+
+
+def can_deep_plane(plane: jax.Array, sf: ScalingFunction,
+                   scale: int) -> bool:
+    """Whether :func:`deep_whiten_plane` applies: the v3 stream
+    geometry gates minus the chain (the detail plane is given, only the
+    power smooth runs — the ``wow(Coefficients)`` reuse entry's deep
+    scales, watroo/utils.py:128-133 with :193-199)."""
+    if plane.dtype != jnp.float32 or plane.ndim not in (2, 3):
+        return False
+    H, W = plane.shape[-2:]
+    D = 1 << scale
+    hw = sf.half_width
+    Rc = hw * D
+    if W % 128 or Rc < 32 or Rc > W:
+        return False
+    if 2 * hw * D > H or H % D or (H // D) < hw:
+        return False
+    return _plane_rows(H, W, D) > 0
+
+
+def _make_plane_kernel(taps, T: int, W: int, D: int, M: int,
+                       weight: float, soft: bool, masked: bool):
+    """Power-only stream: whiten a *given* deep detail plane
+    ``c·sig(c)·w / sqrt(max(smooth_s(c²), 1e-15))`` without the chain
+    smooth — a 2hw+2-slot ring streams each residue class once (same
+    periodic-extension identity as :func:`_make_stream_kernel`), the
+    squared row fold reads its 2hw+1 neighbors from the ring, and the
+    dilated column pass mirrors in ``ext``.  Fold order matches the XLA
+    ``smooth(c², scale)`` (reflection commutes with squaring, so the
+    flipped extension squares to the flipped square)."""
+    hw = (len(taps) - 1) // 2
+    Rc = hw * D
+    DT = D // T
+    NC = 2 * hw + 2
+
+    def kernel(thr_ref, x_hbm, white_ref, ring, ext, sems):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        t = pl.program_id(2)
+
+        def slot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + hw, jnp.int32), jnp.int32(NC))
+
+        def pos_dma(p):
+            a = c + jnp.asarray(p, jnp.int32) * DT
+            a = jnp.where(a < 0, -a - 1, a)
+            a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
+            sl = slot(p)
+            r0 = pl.multiple_of(a * T, 8)
+            return pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(r0, T), :],
+                ring.at[sl], sems.at[sl])
+
+        def flip_ext(p, is_ext):
+            def do():
+                sl = slot(p)
+                ring[sl] = _rev_sublanes(ring[sl], T)
+
+            if isinstance(is_ext, bool):
+                if is_ext:
+                    do()
+            else:
+                pl.when(is_ext)(do)
+
+        def vblk(p):
+            return ring[slot(p)]
+
+        E0 = max(Rc, 128)
+
+        def wpass(val):
+            ext[:, E0:E0 + W] = val
+            if Rc >= 128:
+                ext[:, 0:Rc] = _rev_lanes(val[:, 0:Rc], Rc)
+                ext[:, E0 + W:E0 + W + Rc] = _rev_lanes(
+                    val[:, W - Rc:W], Rc)
+            else:
+                ext[:, 0:128] = _rev_lanes(val[:, 0:128], 128)
+                ext[:, E0 + W:E0 + W + 128] = _rev_lanes(
+                    val[:, W - 128:W], 128)
+            out = val * taps[hw]
+            for j in range(1, hw + 1):
+                left = ext[:, E0 - j * D:E0 - j * D + W]
+                right = ext[:, E0 + j * D:E0 + j * D + W]
+                out = out + taps[hw + j] * (left + right)
+            return out
+
+        @pl.when(t == 0)
+        def _():
+            for p in range(-hw, hw + 2):
+                pos_dma(p).start()
+            for p in range(-hw, hw + 1):
+                pos_dma(p).wait()
+                flip_ext(p, p < 0 or p >= M)
+
+        @pl.when(t > 0)
+        def _():
+            @pl.when(t <= M - 2)
+            def _():
+                pos_dma(t + hw + 1).start()
+
+            pw = t + hw
+            pos_dma(pw).wait()
+            flip_ext(pw, pw >= M)
+
+        cb = vblk(t)
+        tp = (cb * cb) * taps[hw]
+        for j in range(1, hw + 1):
+            cm = vblk(t - j)
+            cp = vblk(t + j)
+            tp = tp + taps[hw + j] * (cm * cm + cp * cp)
+        lp = wpass(tp)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+
+        wc = cb
+        if masked:
+            thr_b = thr_ref[b]
+            safe_t = jnp.where(thr_b == 0, jnp.float32(1.0), thr_b)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
+        white_ref[0] = wc * (weight / lp)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sf", "scale", "weight", "soft", "masked",
+                     "interpret"))
+def deep_whiten_plane(
+    plane: jax.Array,
+    threshold: jax.Array,
+    *,
+    sf: ScalingFunction,
+    scale: int,
+    weight: float,
+    soft: bool = True,
+    masked: bool = False,
+    interpret: bool = False,
+):
+    """Whiten one *materialized* deep detail plane: returns ``white =
+    plane·sig·(weight / sqrt(max(smooth_s(plane²), 1e-15)))``.  The
+    coefficients-reuse entry (``wow(Coefficients)``) and any other
+    consumer holding the plane cube use this instead of the XLA power
+    smooth (~2.2 ms/scale at 4k² → one streaming launch).
+
+    ``plane``: ``(B, H, W)`` float32; ``threshold``: ``(B,)``.  Gate
+    with :func:`can_deep_plane`."""
+    B, H, W = plane.shape
+    D = 1 << scale
+    hw = sf.half_width
+    Rc = hw * D
+    T = _plane_rows(H, W, D)
+    if T == 0 or H % D:
+        raise ValueError("deep_whiten_plane: no feasible block (use "
+                         "can_deep_plane before dispatch)")
+    M = H // D
+    DT = D // T
+    NC = 2 * hw + 2
+
+    def omap(b, c, t):
+        return (b, c + t * DT, 0)
+
+    kernel = _make_plane_kernel(sf.taps, T, W, D, M, float(weight),
+                                soft, masked)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, DT, M),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, T, W), omap),
+        scratch_shapes=[
+            pltpu.VMEM((NC, T, W), jnp.float32),
+            pltpu.VMEM((T, W + 2 * max(Rc, 128)), jnp.float32),
+            pltpu.SemaphoreType.DMA((NC,)),
+        ],
+        interpret=interpret,
+    )(jnp.broadcast_to(threshold.astype(jnp.float32).reshape(-1), (B,)),
+      plane)
