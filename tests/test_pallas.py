@@ -52,13 +52,14 @@ def test_can_fuse_dispatch():
     x32 = jnp.zeros((512, 512), jnp.float32)
     assert pallas_conv.can_fuse(x32, 6, B3SPLINE, None, (0, 1),
                                 "symmetric", backend="tpu")
-    # f64, bilateral, 1-D, reflect boundary, indivisible → no fuse
+    # f64, bilateral, reflect boundary → no fuse
     assert not pallas_conv.can_fuse(
         jnp.zeros((512, 512), jnp.float64), 6, B3SPLINE, None, (0, 1),
         "symmetric", backend="tpu")
     assert not pallas_conv.can_fuse(
         x32, 6, B3SPLINE, (1.0,) * 7, (0, 1), "symmetric", backend="tpu")
-    assert not pallas_conv.can_fuse(
+    # non-tile-divisible shapes now ride the padded fast path
+    assert pallas_conv.can_fuse(
         jnp.zeros((500, 512), jnp.float32), 6, B3SPLINE, None, (0, 1),
         "symmetric", backend="tpu")
     assert not pallas_conv.can_fuse(

@@ -312,3 +312,57 @@ def test_reuse_pieces_rows_form(img32):
         d = float(jnp.abs(got_p[s] - ref_p[s]).max())
         sc = float(jnp.abs(ref_p[s]).max())
         assert d < 5e-6 * max(sc, 1), (s, d)
+
+
+def test_fused_group_odd_shape_bitwise(rng):
+    """Pad-to-tile: a non-multiple-of-256 shape rides the fused
+    decompose group bitwise (symmetric extension commutes with the
+    symmetric folds, so pad >= reach + crop is exact)."""
+    x = jnp.asarray(rng.normal(size=(523, 517)).astype(np.float32))
+    got = PC._fused_group(x, 3, B3SPLINE, interpret=True)
+    ref = decompose(x, 3, B3SPLINE, use_pallas=False)
+    assert got.shape == ref.shape
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_wow_group_odd_shape(rng):
+    """Padded whiten group: carry bitwise, whitened rows to tolerance."""
+    from wavelets_tpu.ops.conv import smooth
+
+    x = jnp.asarray(rng.normal(size=(600, 520)).astype(np.float32))
+    g = 3
+    rows, acc = PC._fused_wow_group(
+        x, jnp.ones((g,), jnp.float32), jnp.zeros((g,), jnp.float32),
+        g, B3SPLINE, masked=(False,) * g, interpret=True)
+    planes = decompose(x, g, B3SPLINE, use_pallas=False)
+    assert np.array_equal(np.asarray(rows[g]), np.asarray(planes[g]))
+    cur = x
+    for s in range(g):
+        sm = smooth(cur, B3SPLINE, scale=s)
+        w = cur - sm
+        lp = smooth(w * w, B3SPLINE, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, 1e-15, lp))
+        ref = w / lp
+        d = float(jnp.abs(rows[s] - ref).max())
+        sc = float(jnp.abs(ref).max())
+        assert d < 5e-6 * max(sc, 1), (s, d)
+        cur = sm
+
+
+def test_wow_body_merged_odd_shape(rng):
+    """End-to-end odd-shape WOW through the merged body (padded groups
+    + XLA tail) vs the XLA body."""
+    x = jnp.asarray(rng.normal(size=(523, 517)).astype(np.float32))
+    level = 6
+    dcoef = (0.0,) * level + (1.0,)
+    got_r, got_p = W._wow_body_merged(
+        x, jnp.ones(()), True, B3SPLINE, level, (1.0,) * (level + 1),
+        dcoef, True)
+    planes = decompose(x, level, B3SPLINE, use_pallas=False)
+    ref_r, ref_p = W._wow_body(
+        planes, jnp.ones(()), True, B3SPLINE, level,
+        (1.0,) * (level + 1), True, dcoef, False, True, False, 3.2,
+        None, None, 0.0)
+    scale = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6 * max(scale, 1)
+    assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6 * max(scale, 1)

@@ -267,9 +267,12 @@ def _wow_body_merged(
     sp_axes = (1, 2) if batched else (0, 1)
     sigma_e = sf.sigma_e(2, False)
     n_fast = min(n_scales, _deep_start(data, sf))
-    groups, covered = pallas_conv.plan_wow_groups(
+    groups, covered = pallas_conv.plan_wow_prefix(
         H, W, n_fast, sf.half_width, data.dtype.itemsize)
-    assert covered == n_fast  # guarded by _can_merge_whiten
+    # tile-divisible shapes: groups reach the deep-kernel start
+    # (guarded by _can_merge_whiten).  Padded odd shapes may stop
+    # earlier; the uncovered scales run the per-scale tail below.
+    n_fast = covered
 
     if not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales]
@@ -373,8 +376,14 @@ def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
     H, W = data.shape[-2:]
     ds = _deep_start(data, sf)
     n_fast = min(n_scales, ds)
-    groups, covered = pallas_conv.plan_wow_groups(
+    groups, covered = pallas_conv.plan_wow_prefix(
         H, W, n_fast, sf.half_width, data.dtype.itemsize)
+    if H % 256 or W % 256:
+        # pad-to-tile route: the group kernels pad each group by its
+        # reach and crop (bitwise-exact); scales past the longest
+        # coverable prefix run the XLA tail inside _deep_tail_scales
+        # (the deep stream kernels need H % 2^s == 0, W % 128 == 0)
+        return H >= 512 and W >= 512 and covered >= 1
     if covered != n_fast:
         return False
     db = data if data.ndim == 3 else data[None]
@@ -751,18 +760,28 @@ def wow_core(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold,
                 need_planes=need_planes, planes_layout=planes_layout)
+    lazy_masked = not has_noise and any(
+        d != 0 for d in denoise_coefficients[:n_scales])
+    spatial = tuple(range(data.ndim - 2, data.ndim))
+    spatial_ok = (axes is None and data.ndim == 2) or (
+        data.ndim in (2, 3) and axes is not None
+        and tuple(a % data.ndim for a in axes) == spatial)
+    if (fuse and whitening and h == 0 and bilateral is None
+            and not preserve_variance and spatial_ok
+            and data.dtype == jnp.float32
+            and _can_merge_whiten(data, sf, n_scales, lazy_masked,
+                                  need_planes)):
+        # merged gate hoisted above the tile-divisibility gate: the
+        # group kernels pad-and-crop non-multiple-of-256 shapes
+        # (bitwise, ops/pallas_conv._pad_split), so odd frames keep the
+        # fast path instead of silently dropping to 100% XLA
+        return _wow_body_merged(
+            data, noise, has_noise, sf, n_scales, weights,
+            denoise_coefficients, soft_threshold,
+            need_planes=need_planes, planes_layout=planes_layout)
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h,
                                  bilateral is not None):
-        lazy_masked = not has_noise and any(
-            d != 0 for d in denoise_coefficients[:n_scales])
-        if (bilateral is None and not preserve_variance and h == 0
-                and _can_merge_whiten(data, sf, n_scales, lazy_masked,
-                                      need_planes)):
-            return _wow_body_merged(
-                data, noise, has_noise, sf, n_scales, weights,
-                denoise_coefficients, soft_threshold,
-                need_planes=need_planes, planes_layout=planes_layout)
         # preserve_variance / gamma blend need the materialized planes
         # (per-scale mean power feeds the kernel's factor table; the
         # gamma accumulator covers kernel scales only) — no deferral

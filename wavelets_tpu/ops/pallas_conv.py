@@ -412,23 +412,41 @@ def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
     return max(bytes_ / _BW, vpu / _VPU) + steps * _STEP_OVH
 
 
+def _pad_split(n: int, R: int, T: int) -> Tuple[int, int, int]:
+    """Symmetric pad plan for a non-tile-divisible extent: the smallest
+    multiple ``np`` of ``T`` with ``np ≥ n + 2R``, split so each side
+    gets ≥ R.  Padding by ≥ the group's reach ``R`` and cropping after
+    is *bitwise* exact: symmetric extension commutes with the symmetric
+    tap folds (the extension of the smooth is the smooth of the
+    extension — addition order of the mirrored taps is commutative), so
+    every value an original-domain output reads from the padded array
+    equals the per-scale reflection the standard algorithm would have
+    produced (watroo/wavelets.py:408-444 pads per scale).  Returns
+    ``(pad_lo, pad_hi, np)``; ``(0, 0, n)`` when already divisible."""
+    if n % T == 0:
+        return 0, 0, n
+    np_ = -(-(n + 2 * R) // T) * T
+    lo = (np_ - n) // 2
+    return lo, np_ - n - lo, np_
+
+
 def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                 budget: int = 13 << 20,
                 whiten: bool = False) -> Optional[Tuple[int, int]]:
-    """Cheapest feasible tile pair under the cost model."""
+    """Cheapest feasible tile pair under the cost model.  Extents that
+    are not tile-divisible are priced at their padded size (see
+    :func:`_pad_split`); the kernels pad-and-crop internally."""
     cands = []
     for TH in (512, 256, 128):
-        if H % TH:
-            continue
+        Hp = _pad_split(H, R, TH)[2]
         for TW in (512, 256, 128):
-            if W % TW:
-                continue
+            Wp = _pad_split(W, R, TW)[2]
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
             if _vmem_bytes(TH, TW, level, R, itemsize, whiten,
-                           reuse=W // TW > 1) <= budget:
+                           reuse=Wp // TW > 1) <= budget:
                 cands.append(
-                    (_group_cost(H, W, level, R, TH, TW, itemsize,
+                    (_group_cost(Hp, Wp, level, R, TH, TW, itemsize,
                                  whiten), TH, TW))
     if not cands:
         return None
@@ -483,12 +501,17 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     B, H, W = xb.shape
     R = _group_halo(sf.half_width, offset, level)
     TH, TW = _plan_tiles(H, W, level, R, x.dtype.itemsize)
+    # non-tile-divisible extents: pad by >= R each side (bitwise-exact,
+    # see _pad_split) and crop the outputs back below
+    pt, _, Hp = _pad_split(H, R, TH)
+    pj, _, Wp = _pad_split(W, R, TW)
     Rr, Rc = _aligned_halos(R)
-    xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
-    reuse = W // TW > 1
+    xp = jnp.pad(xb, ((0, 0), (Rr + pt, Rr + (Hp - H - pt)),
+                      (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
+    reuse = Wp // TW > 1
     kernel = _make_kernel(level, sf.taps, TH, TW, R, offset,
                           reuse=reuse)
-    grid = (B, H // TH, W // TW)
+    grid = (B, Hp // TH, Wp // TW)
     dt = x.dtype
     scratch = [
         pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
@@ -503,7 +526,7 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((level + 1, B, H, W), dt),
+        out_shape=jax.ShapeDtypeStruct((level + 1, B, Hp, Wp), dt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (level + 1, 1, TH, TW),
@@ -512,6 +535,8 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
         scratch_shapes=scratch,
         interpret=interpret,
     )(xp)
+    if (Hp, Wp) != (H, W):
+        out = out[:, :, pt:pt + H, pj:pj + W]
     return out if batched else out[:, 0]
 
 
@@ -551,14 +576,17 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     dt = x.dtype
     R = _wow_group_halo(sf.half_width, offset, g)
     TH, TW = _plan_tiles(H, W, g, R, dt.itemsize, whiten=True)
+    pt, _, Hp = _pad_split(H, R, TH)
+    pj, _, Wp = _pad_split(W, R, TW)
     Rr, Rc = _aligned_halos(R)
-    xp = jnp.pad(xb, ((0, 0), (Rr, Rr), (Rc, Rc)), mode="symmetric")
-    reuse = W // TW > 1
+    xp = jnp.pad(xb, ((0, 0), (Rr + pt, Rr + (Hp - H - pt)),
+                      (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
+    reuse = Wp // TW > 1
     kernel = _make_kernel(g, sf.taps, TH, TW, R, offset,
                           whiten=(soft, tuple(masked), need_cube),
                           reuse=reuse)
     n_rows = g + 1 if need_cube else 1
-    grid = (B, H // TH, W // TW)
+    grid = (B, Hp // TH, Wp // TW)
     scratch = [
         pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
         pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
@@ -576,7 +604,7 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=tuple([jax.ShapeDtypeStruct((B, H, W), dt)]
+        out_shape=tuple([jax.ShapeDtypeStruct((B, Hp, Wp), dt)]
                         * (n_rows + 1)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -588,6 +616,8 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
                        (g, B)),
       xp)
+    if (Hp, Wp) != (H, W):
+        outs = tuple(o[:, pt:pt + H, pj:pj + W] for o in outs)
     rows, acc = outs[:n_rows], outs[n_rows]
     if batched:
         return tuple(rows), acc
@@ -626,6 +656,22 @@ def plan_wow_groups(H: int, W: int, level: int, hw: int,
         groups.append((s, best[s][1]))
         s += best[s][1]
     return groups, s
+
+
+def plan_wow_prefix(H: int, W: int, level: int, hw: int,
+                    itemsize: int = 4):
+    """Longest prefix of scales 0..k−1 fully coverable by whiten
+    groups.  :func:`plan_wow_groups` only emits plans whose group
+    chain connects to its ``level`` (deep offsets have infeasible
+    halos, so a high level can make the whole chain unreachable even
+    though a shorter prefix is cheap) — retry at shorter levels until
+    the plan covers everything it was asked for.  Scales past the
+    prefix run the per-scale tail dispatch (deep kernel or XLA)."""
+    for k in range(level, 0, -1):
+        groups, covered = plan_wow_groups(H, W, k, hw, itemsize)
+        if covered == k:
+            return groups, k
+    return [], 0
 
 
 def plan_groups(H: int, W: int, level: int, hw: int, itemsize: int = 4):
