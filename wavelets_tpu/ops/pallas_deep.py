@@ -250,6 +250,13 @@ def _rev_sublanes(v, n: int):
     return v
 
 
+#: the stream's true footprint is ~30 T·W f32 buffers; T=32 at W=4096
+#: is 15.7 MB — inside the 21 MB scoped-VMEM ceiling, and measured
+#: faster than T=16 (halves the residue-class count, so the per-class
+#: prologue latency and per-step sequencing amortize 2×)
+_STREAM_BUDGET = 16 << 20
+
+
 def _stream_rows(H: int, W: int, D: int) -> int:
     """v3 block height: divides the dilation and the image height, with
     a VMEM fit for the stream footprint (carry ring 4hw+2 blocks +
@@ -258,7 +265,7 @@ def _stream_rows(H: int, W: int, D: int) -> int:
     for T in (32, 16, 8):
         if D % T or H % T:
             continue
-        if 30 * T * W * 4 <= _VMEM_BUDGET:
+        if 30 * T * W * 4 <= _STREAM_BUDGET:
             return T
     return 0
 
