@@ -285,3 +285,84 @@ def test_can_deep_plane_gates():
     assert not can_deep_plane(x.astype(jnp.float64), B3SPLINE, 6)
     assert not can_deep_plane(
         jnp.zeros((1, 500, 512), jnp.float32), B3SPLINE, 6)  # H % D
+
+
+def test_deep_bilateral_step_vs_xla(rng):
+    """Fused bilateral deep step vs the XLA chain (local_variance +
+    atrous_conv_nd + power smooth) — the _deep_tail_scales bilateral
+    dispatch, watroo/wavelets.py:74-105 semantics at deep dilations.
+    Tolerance (not bitwise): the tap partial sums regroup additions
+    and exp differs in ulps."""
+    from wavelets_tpu.core.transform import _smooth_step
+    from wavelets_tpu.ops.pallas_deep import (can_deep_bilateral,
+                                              deep_bilateral_whiten_step)
+
+    x = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+    s = 4
+    sigma = 1.5
+    assert can_deep_bilateral(x[None], B3SPLINE, s)
+    bil = (0.0,) * s + (sigma,) + (0.0,)
+    for scaling in (False, True):
+        c_next_ref = _smooth_step(x, s, B3SPLINE, (0, 1), "symmetric",
+                                  bil, scaling)
+        c = x - c_next_ref
+        lp = smooth(c * c, B3SPLINE, scale=s)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+        ref_w = c * (1.0 / lp)
+        vf = sigma ** 2 * ((s + 1) if scaling else 1)
+        white, cn = deep_bilateral_whiten_step(
+            x[None], jnp.zeros((1,)), sf=B3SPLINE, scale=s,
+            var_factor=vf, weight=1.0, masked=False, interpret=True)
+        dc = float(jnp.abs(cn[0] - c_next_ref).max())
+        dw = float(jnp.abs(white[0] - ref_w).max())
+        sc = float(jnp.abs(ref_w).max())
+        assert dc < 5e-6 * max(float(jnp.abs(c_next_ref).max()), 1), dc
+        assert dw < 5e-6 * max(sc, 1), (scaling, dw)
+
+
+def test_deep_bilateral_step_masked(rng):
+    """Masked (denoised) bilateral deep step: erf / hard significance
+    applied before whitening, per-frame thresholds."""
+    from wavelets_tpu.core.transform import _smooth_step
+    from wavelets_tpu.ops.pallas_deep import deep_bilateral_whiten_step
+
+    stack = jnp.asarray(
+        rng.normal(size=(2, 512, 512)).astype(np.float32))
+    s = 4
+    sigma = 2.0
+    bil = (0.0,) * s + (sigma,) + (0.0,)
+    thr = jnp.asarray([0.6, 0.0], jnp.float32)
+    for soft in (True, False):
+        white, cn = deep_bilateral_whiten_step(
+            stack, thr, sf=B3SPLINE, scale=s, var_factor=sigma ** 2,
+            weight=1.5, soft=soft, masked=True, interpret=True)
+        for b in range(2):
+            c_next = _smooth_step(stack[b], s, B3SPLINE, (0, 1),
+                                  "symmetric", bil, False)
+            c = stack[b] - c_next
+            lp = smooth(c * c, B3SPLINE, scale=s)
+            lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+            t = float(thr[b])
+            m = c
+            if t != 0:
+                if soft:
+                    m = c * jax.scipy.special.erf(jnp.abs(c) / t)
+                else:
+                    m = c * (jnp.abs(c) > t).astype(jnp.float32)
+            ref_w = m * (1.5 / lp)
+            dw = float(jnp.abs(white[b] - ref_w).max())
+            sc = float(jnp.abs(ref_w).max())
+            assert dw < 5e-6 * max(sc, 1), (b, soft, dw)
+
+
+def test_can_deep_bilateral_gates():
+    from wavelets_tpu.ops.pallas_deep import can_deep_bilateral
+
+    x = jnp.zeros((1, 512, 512), jnp.float32)
+    assert can_deep_bilateral(x, B3SPLINE, 4)
+    assert can_deep_bilateral(x, B3SPLINE, 6)
+    assert not can_deep_bilateral(x, B3SPLINE, 3)   # Rc = 16
+    assert not can_deep_bilateral(x, B3SPLINE, 8)   # double bounce
+    assert not can_deep_bilateral(x.astype(jnp.float64), B3SPLINE, 4)
+    assert not can_deep_bilateral(
+        jnp.zeros((1, 512, 500), jnp.float32), B3SPLINE, 4)  # W % 128

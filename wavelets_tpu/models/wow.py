@@ -222,6 +222,28 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             recon = recon + w
             carry = carry_b if batched else carry_b[0]
             continue
+        if (bilateral is not None and not interp
+                and pallas_deep.can_deep_bilateral(carry, sf, s)):
+            # fused bilateral deep step (the reference hot loop
+            # watroo/wavelets.py:84-105 at deep dilations): the k²
+            # shifted range-weight reads and both sdev smooths run
+            # from the VMEM carry ring — replaces ~7.5 ms/scale of
+            # XLA chain at 4k² with one streaming launch
+            carry_b = carry if batched else carry[None]
+            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            vf = float(bilateral[s]) ** 2
+            if bilateral_scaling:
+                vf *= (s + 1)
+            white, carry_b = pallas_deep.deep_bilateral_whiten_step(
+                carry_b, thr, sf=sf, scale=s, var_factor=vf,
+                weight=float(weights[s]), soft=soft_threshold,
+                masked=denoise_coefficients[s] != 0)
+            w = white if batched else white[0]
+            if write_planes:
+                rows.append(w)
+            recon = recon + w
+            carry = carry_b if batched else carry_b[0]
+            continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                               bilateral, bilateral_scaling)
         c = carry - c_next

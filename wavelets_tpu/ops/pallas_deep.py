@@ -66,7 +66,9 @@ from .filters import ScalingFunction
 from .pallas_conv import _exact_dot, _exact_dot_left, _flip_mats
 from .pallas_wow import _erf_pos
 
-__all__ = ["deep_whiten_step", "can_deep", "deep_block_rows"]
+__all__ = ["deep_whiten_step", "can_deep", "deep_block_rows",
+           "deep_bilateral_whiten_step", "can_deep_bilateral",
+           "deep_whiten_plane", "can_deep_plane"]
 
 #: VMEM ceiling for the per-step footprint in (T·W) f32 buffers: 9
 #: double-buffered input windows + recon in + 3 double-buffered outputs
@@ -774,3 +776,309 @@ def deep_whiten_plane(
         interpret=interpret,
     )(jnp.broadcast_to(threshold.astype(jnp.float32).reshape(-1), (B,)),
       plane)
+
+
+# ---------------------------------------------------------------------
+# Bilateral deep-scale step (round 3)
+# ---------------------------------------------------------------------
+
+#: bilateral stream scratch: carry ring (4hw+2) + cnext ring (2hw+1)
+#: + acc/nrm/inv2v spills = 18 T·W f32 buffers + the ext row + the tap
+#: loop's live (T, W) value temps ≈ 26 T·W.  T=32 at 4k width measures
+#: 17.0 MB of scoped vmem — over this platform's 16 MB kernel limit
+#: (three fit attempts: full-width DAG 16.5 M, column-stripped 16.5 M,
+#: fori_loop prologue + mean/m2 spill 17.0 M), so the budget pins T=16
+#: at 4k / T=8 at 8k.
+_BILATERAL_STREAM_BUDGET = 12 << 20
+
+
+def _bilateral_stream_rows(H: int, W: int, D: int) -> int:
+    for T in (32, 16, 8):
+        if D % T or H % T:
+            continue
+        if 26 * T * W * 4 <= _BILATERAL_STREAM_BUDGET:
+            return T
+    return 0
+
+
+def can_deep_bilateral(carry: jax.Array, sf: ScalingFunction,
+                       scale: int) -> bool:
+    """Whether the fused bilateral deep-whiten step applies: f32, 2-D
+    or frame-batched, lane-tileable width, single-bounce reflection,
+    and a feasible stream geometry (same gates as the plain v3 stream,
+    :func:`can_deep`, minus the BlockSpec fallback)."""
+    if carry.dtype != jnp.float32 or carry.ndim not in (2, 3):
+        return False
+    H, W = carry.shape[-2:]
+    D = 1 << scale
+    hw = sf.half_width
+    Rc = hw * D
+    if W % 128 or Rc < 32:
+        return False
+    if 2 * hw * D > H or H % D or (H // D) < 2 * hw:
+        return False
+    return _bilateral_stream_rows(H, W, D) > 0
+
+
+def _make_bilateral_stream_kernel(taps, T: int, W: int, D: int, M: int,
+                                  var_factor: float, weight: float,
+                                  soft: bool, masked: bool):
+    """Bilateral variant of :func:`_make_stream_kernel`: the chain
+    smooth is the reference's bilateral à trous conv
+    (watroo/wavelets.py:74-105 via ops/conv.atrous_conv_nd) — local
+    variance under the scale window (× the static σ_b² factor), then
+    the k²−1 range-weighted tap accumulation with normalizer — followed
+    by the plain power smooth, significance, and whitening.  Same
+    periodic-extension stream as the plain kernel (reflection commutes
+    with the bilateral window function because the 2-D tap kernel is
+    flip-symmetric), same ring geometry.  Numerics match the XLA
+    deferred-tail step to tolerance (the tap iteration follows
+    ops/conv._noncenter_offsets order, but the per-``m`` partial sums
+    regroup the additions, and Mosaic's exp differs in ulps — parity
+    ~1e-6 on unit-scale data, not bitwise)."""
+    hw = (len(taps) - 1) // 2
+    Rc = hw * D
+    DT = D // T
+    NC = 4 * hw + 2
+    NN = 2 * hw + 1
+    center = taps[hw] ** 2
+    inv_vf = 0.5 / var_factor
+    tap_k = {(m, j): taps[hw + m] * taps[hw + j]
+             for m in range(-hw, hw + 1) for j in range(-hw, hw + 1)}
+    # the reference's tap order (descending meshgrid,
+    # watroo/wavelets.py:89-91 / ops/conv._noncenter_offsets)
+    row_offs = list(range(hw, -hw - 1, -1))
+    col_offs = list(range(hw, -hw - 1, -1))
+
+    def kernel(thr_ref, carry_hbm, cnext_ref, white_ref, ring, cnr,
+               ext, acc_ref, nrm_ref, inv2v_ref, sems):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        t = pl.program_id(2)
+
+        def slot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + 2 * hw, jnp.int32), jnp.int32(NC))
+
+        def cslot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + hw, jnp.int32), jnp.int32(NN))
+
+        def pos_dma(p):
+            a = c + jnp.asarray(p, jnp.int32) * DT
+            a = jnp.where(a < 0, -a - 1, a)
+            a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
+            sl = slot(p)
+            r0 = pl.multiple_of(a * T, 8)
+            return pltpu.make_async_copy(
+                carry_hbm.at[b, pl.ds(r0, T), :],
+                ring.at[sl], sems.at[sl])
+
+        def flip_ext(p, is_ext):
+            def do():
+                sl = slot(p)
+                ring[sl] = _rev_sublanes(ring[sl], T)
+
+            if isinstance(is_ext, bool):
+                if is_ext:
+                    do()
+            else:
+                pl.when(is_ext)(do)
+
+        def vblk(p):
+            return ring[slot(p)]
+
+        E0 = max(Rc, 128)
+
+        def fill_ext(val):
+            # symmetric column extension: same mirror fill as the plain
+            # stream's wpass (exact butterfly reversals)
+            ext[:, E0:E0 + W] = val
+            if Rc >= 128:
+                ext[:, 0:Rc] = _rev_lanes(val[:, 0:Rc], Rc)
+                ext[:, E0 + W:E0 + W + Rc] = _rev_lanes(
+                    val[:, W - Rc:W], Rc)
+            else:
+                ext[:, 0:128] = _rev_lanes(val[:, 0:128], 128)
+                ext[:, E0 + W:E0 + W + 128] = _rev_lanes(
+                    val[:, W - 128:W], 128)
+
+        def wpass(val):
+            fill_ext(val)
+            out = val * taps[hw]
+            for j in range(1, hw + 1):
+                left = ext[:, E0 - j * D:E0 - j * D + W]
+                right = ext[:, E0 + j * D:E0 + j * D + W]
+                out = out + taps[hw + j] * (left + right)
+            return out
+
+        def compute_cnext(p):
+            # local variance under the scale window: two separable
+            # smooths (fold order = ops/conv.smooth: rows then columns).
+            # acc/nrm double as the mean/m2 spill slots here (free until
+            # the tap loop) to keep the Mosaic value stack bounded.
+            h = vblk(p) * taps[hw]
+            for j in range(1, hw + 1):
+                h = h + taps[hw + j] * (vblk(p - j) + vblk(p + j))
+            acc_ref[...] = wpass(h)
+            vq = vblk(p)
+            hq = (vq * vq) * taps[hw]
+            for j in range(1, hw + 1):
+                vm = vblk(p - j)
+                vp = vblk(p + j)
+                hq = hq + taps[hw + j] * (vm * vm + vp * vp)
+            nrm_ref[...] = wpass(hq)
+            mean = acc_ref[...]
+            vari = nrm_ref[...] - mean * mean
+            vari = jnp.where(vari <= 0, jnp.float32(1e-20), vari)
+            # inv_two_var = 0.5 / (vari · σ_b²·scale_factor)
+            inv2v_ref[...] = jnp.float32(inv_vf) / vari
+            ci0 = vblk(p)
+            acc_ref[...] = ci0 * jnp.float32(center)
+            nrm_ref[...] = jnp.full((T, W), jnp.float32(center))
+            # column strips bound the tap loop's live value temps
+            # (Mosaic stacks ~7 of them; full-width at T=32 blows the
+            # 16 MB scoped-vmem limit by ~0.5 MB)
+            CS = W // 2 if W % 2 == 0 and W >= 2048 else W
+            for m in row_offs:
+                fill_ext(vblk(p + m))
+                for c0 in range(0, W, CS):
+                    ci = vblk(p)[:, c0:c0 + CS]
+                    iv = inv2v_ref[:, c0:c0 + CS]
+                    pa = None
+                    pn = None
+                    for j in col_offs:
+                        if m == 0 and j == 0:
+                            continue
+                        sh = ext[:, E0 + j * D + c0:
+                                 E0 + j * D + c0 + CS]
+                        diff = ci - sh
+                        w = jnp.float32(tap_k[(m, j)]) * jnp.exp(
+                            -(diff * diff) * iv)
+                        pn = w if pn is None else pn + w
+                        pa = w * sh if pa is None else pa + w * sh
+                    acc_ref[:, c0:c0 + CS] = (acc_ref[:, c0:c0 + CS]
+                                              + pa)
+                    nrm_ref[:, c0:c0 + CS] = (nrm_ref[:, c0:c0 + CS]
+                                              + pn)
+            cnr[cslot(p)] = acc_ref[...] / nrm_ref[...]
+
+        # ---- prologue: head extension + warm-up ----------------------
+        @pl.when(t == 0)
+        def _():
+            for p in range(-2 * hw, 2 * hw + 2):
+                pos_dma(p).start()
+            for p in range(-2 * hw, 2 * hw + 1):
+                pos_dma(p).wait()
+                flip_ext(p, p < 0 or p >= M)
+            # fori_loop (not unrolled): the bilateral chain smooth's
+            # value temps would otherwise stack 2hw+1 deep and blow the
+            # 16 MB scoped-vmem limit at T=32
+            jax.lax.fori_loop(
+                -hw, hw + 1,
+                lambda p, _: (compute_cnext(p), 0)[1], 0)
+
+        # ---- steady state: fetch ahead + one lookahead smooth --------
+        @pl.when(t > 0)
+        def _():
+            @pl.when(t <= M - 2)
+            def _():
+                pos_dma(t + 2 * hw + 1).start()
+
+            pw = t + 2 * hw
+            pos_dma(pw).wait()
+            flip_ext(pw, pw >= M)
+            compute_cnext(t + hw)
+
+        # ---- whiten block t (identical to the plain stream) ----------
+        ca_c = vblk(t) - cnr[cslot(t)]
+        tp = (ca_c * ca_c) * taps[hw]
+        for j in range(1, hw + 1):
+            ca_m = vblk(t - j) - cnr[cslot(t - j)]
+            ca_p = vblk(t + j) - cnr[cslot(t + j)]
+            tp = tp + taps[hw + j] * (ca_m * ca_m + ca_p * ca_p)
+        lp = wpass(tp)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+
+        wc = ca_c
+        if masked:
+            thr_b = thr_ref[b]
+            safe_t = jnp.where(thr_b == 0, jnp.float32(1.0), thr_b)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
+        white_ref[0] = wc * (weight / lp)
+        cnext_ref[0] = cnr[cslot(t)]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sf", "scale", "var_factor", "weight", "soft",
+                     "masked", "interpret"))
+def deep_bilateral_whiten_step(
+    carry: jax.Array,
+    threshold: jax.Array,
+    *,
+    sf: ScalingFunction,
+    scale: int,
+    var_factor: float,
+    weight: float,
+    soft: bool = True,
+    masked: bool = False,
+    interpret: bool = False,
+):
+    """One deferred-tail *bilateral* WOW scale, fused: returns
+    ``(white, c_next)``.  Replaces the XLA bilateral chain
+    (ops/conv.atrous_conv_nd + local_variance + power smooth, the
+    reference hot loop watroo/wavelets.py:84-105 at deep dilations) —
+    the k² overlapping shifted reads and the two sdev smooths all run
+    from the VMEM-resident carry ring.  ``var_factor`` is the static
+    range-variance factor σ_b[s]²·(s+1 if bilateral_scaling).
+
+    ``carry``: ``(B, H, W)`` float32; ``threshold``: ``(B,)``.  Gate
+    with :func:`can_deep_bilateral`."""
+    B, H, W = carry.shape
+    D = 1 << scale
+    hw = sf.half_width
+    Rc = hw * D
+    T = _bilateral_stream_rows(H, W, D)
+    if T == 0 or H % D:
+        raise ValueError("deep_bilateral_whiten_step: no feasible "
+                         "block (use can_deep_bilateral)")
+    M = H // D
+    DT = D // T
+    NC = 4 * hw + 2
+    NN = 2 * hw + 1
+
+    def omap(b, c, t):
+        return (b, c + t * DT, 0)
+
+    kernel = _make_bilateral_stream_kernel(
+        sf.taps, T, W, D, M, float(var_factor), float(weight), soft,
+        masked)
+    cnext, white = pl.pallas_call(
+        kernel,
+        grid=(B, DT, M),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec((1, T, W), omap),
+                   pl.BlockSpec((1, T, W), omap)),
+        scratch_shapes=[
+            pltpu.VMEM((NC, T, W), jnp.float32),
+            pltpu.VMEM((NN, T, W), jnp.float32),
+            pltpu.VMEM((T, W + 2 * max(Rc, 128)), jnp.float32),
+            pltpu.VMEM((T, W), jnp.float32),
+            pltpu.VMEM((T, W), jnp.float32),
+            pltpu.VMEM((T, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((NC,)),
+        ],
+        interpret=interpret,
+    )(jnp.broadcast_to(threshold.astype(jnp.float32).reshape(-1), (B,)),
+      carry)
+    return white, cnext
