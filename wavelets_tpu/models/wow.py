@@ -137,7 +137,7 @@ BF16_MERGED = True
 
 
 def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
-                     h, bilateral):
+                     h, bilateral, allow_cpu=False):
     """Fused Pallas whitening applies to the standard or bilateral
     (optionally frame-batched) WOW: 2-D f32, whitening on, tileable
     shape, on TPU.  Decidable from the raw input, *before*
@@ -160,8 +160,13 @@ def _can_fuse_whiten(data, axes, n_scales, whitening, preserve_variance,
     Gamma blend (``0 < h < 1``) qualifies: the kernel's third
     accumulator emits the masked-plane sum for the tone map.  ``h == 1``
     skips whitening entirely (_wow_body's ``whitening and h < 1``
-    guard) — XLA path."""
-    if jax.default_backend() == "cpu":
+    guard) — XLA path.
+
+    ``allow_cpu=True`` skips the backend check (the kernels run in
+    interpret mode on CPU) — the sharded engine's per-shard fast-path
+    gate uses it so the forced CPU test mesh exercises the same
+    dispatch as a real slice."""
+    if jax.default_backend() == "cpu" and not allow_cpu:
         return False
     if not whitening or h >= 1:
         return False
@@ -187,11 +192,12 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
                       write_planes=True):
     """Whiten the deferred tail scales s = tail_start..n_scales−1 from
     the smooth ``carry``: per scale, chain smooth + difference + power
-    smooth + significance + whiten, accumulating into ``recon``.  Plain
-    deep scales dispatch to the fused Pallas step (ops/pallas_deep.py)
-    — one launch per scale instead of ~4 XLA smooth passes; bilateral
-    chains and infeasible geometries run the XLA ops.  Returns
-    ``(rows, recon, residual_carry)``."""
+    smooth + significance + whiten, accumulating into ``recon``
+    (``recon=None`` starts the accumulation at the first whitened
+    plane).  Plain deep scales dispatch to the fused Pallas step
+    (ops/pallas_deep.py) — one launch per scale instead of ~4 XLA
+    smooth passes; bilateral chains and infeasible geometries run the
+    XLA ops.  Returns ``(rows, recon, residual_carry)``."""
     from ..core.transform import _smooth_step
     from ..ops import pallas_deep
 
@@ -219,7 +225,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             w = white if batched else white[0]
             if write_planes:
                 rows.append(w)
-            recon = recon + w
+            recon = w if recon is None else recon + w
             carry = carry_b if batched else carry_b[0]
             continue
         if (bilateral is not None and not interp
@@ -241,7 +247,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             w = white if batched else white[0]
             if write_planes:
                 rows.append(w)
-            recon = recon + w
+            recon = w if recon is None else recon + w
             carry = carry_b if batched else carry_b[0]
             continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
@@ -256,7 +262,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
         c = c * (weights[s] / lp)
         if write_planes:
             rows.append(c)
-        recon = recon + c
+        recon = c if recon is None else recon + c
         carry = c_next
     return rows, recon, carry
 
@@ -370,7 +376,8 @@ def _deep_start(data, sf) -> int:
 
 
 def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
-                      need_planes: bool = True) -> bool:
+                      need_planes: bool = True,
+                      allow_cpu: bool = False) -> bool:
     """Merged decompose+whiten dispatch: f32 on TPU, fast scales fully
     coverable by whiten groups, deep scales (if any) all
     deep-step-feasible.  Single 2-D frames always qualify; a frame
@@ -393,7 +400,7 @@ def _can_merge_whiten(data, sf, n_scales, lazy_masked: bool,
             return False
     elif data.ndim != 2:
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not allow_cpu:
         return False
     H, W = data.shape[-2:]
     ds = _deep_start(data, sf)
