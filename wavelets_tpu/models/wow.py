@@ -754,7 +754,11 @@ def wow_core(
 ):
     """Fused decomposition + whitening from a raw image.  Returns
     ``(recon, planes)``.  ``fuse=False`` disables the Pallas fast paths
-    (required under vmap).  ``need_planes=False`` (serving paths that
+    (required under vmap); ``fuse="force"`` additionally waives the
+    CPU-backend opt-out in the dispatch gates so the kernels run in
+    interpret mode — the sharded engine uses it per shard so the forced
+    CPU test mesh exercises the exact hardware dispatch.
+    ``need_planes=False`` (serving paths that
     discard the coefficients) skips the whitened plane-cube HBM writes
     where the kernels support it and returns ``(recon, None)``; the
     reconstruction is bitwise-identical either way (same tile plans,
@@ -789,6 +793,7 @@ def wow_core(
                 data, noise, has_noise, sf, n_scales, weights,
                 denoise_coefficients, soft_threshold,
                 need_planes=need_planes, planes_layout=planes_layout)
+    allow_cpu = fuse == "force"
     lazy_masked = not has_noise and any(
         d != 0 for d in denoise_coefficients[:n_scales])
     spatial = tuple(range(data.ndim - 2, data.ndim))
@@ -799,7 +804,7 @@ def wow_core(
             and not preserve_variance and spatial_ok
             and data.dtype == jnp.float32
             and _can_merge_whiten(data, sf, n_scales, lazy_masked,
-                                  need_planes)):
+                                  need_planes, allow_cpu=allow_cpu)):
         # merged gate hoisted above the tile-divisibility gate: the
         # group kernels pad-and-crop non-multiple-of-256 shapes
         # (bitwise, ops/pallas_conv._pad_split), so odd frames keep the
@@ -810,19 +815,22 @@ def wow_core(
             need_planes=need_planes, planes_layout=planes_layout)
     if fuse and _can_fuse_whiten(data, axes, n_scales, whitening,
                                  preserve_variance, h,
-                                 bilateral is not None):
+                                 bilateral is not None,
+                                 allow_cpu=allow_cpu):
         # preserve_variance / gamma blend need the materialized planes
         # (per-scale mean power feeds the kernel's factor table; the
         # gamma accumulator covers kernel scales only) — no deferral
+        force = True if allow_cpu else None
         if preserve_variance or h > 0:
             pieces, layout = decompose_pieces(
                 data, n_scales, sf, axes=axes, bilateral=bilateral,
-                bilateral_scaling=bilateral_scaling)
+                bilateral_scaling=bilateral_scaling, use_pallas=force)
             tail = None
         else:
             pieces, layout, tail = decompose_pieces(
                 data, n_scales, sf, axes=axes, bilateral=bilateral,
                 bilateral_scaling=bilateral_scaling, defer_tail=True,
+                use_pallas=force,
             )
         return _wow_body_fused(
             pieces, layout, tail, noise, has_noise, sf, n_scales,
@@ -1010,6 +1018,47 @@ def wow(data,
     return recon, coeffs
 
 
+def _stack_core(data, noise_arr, with_coefficients, statics, force=False):
+    """Batched (B, H, W) stack dispatch shared by :func:`wow_stack` and
+    the sharded engine's data-axis fast path
+    (wavelets_tpu/parallel/sharded.py): the batched fused/merged Pallas
+    kernels when the gates admit, per-frame vmap of the XLA path
+    otherwise.  ``force=True`` waives the CPU-backend opt-out in the
+    gates (the kernels run in interpret mode) so the forced CPU test
+    mesh exercises the exact hardware dispatch per shard."""
+    h = statics["h"]
+    n_scales = statics["n_scales"]
+    lazy_masked = not statics["has_noise"] and any(
+        d != 0 for d in statics["denoise_coefficients"][:n_scales])
+    serving_merge = (not with_coefficients and statics["whitening"]
+                     and h == 0 and statics["bilateral"] is None
+                     and not statics["preserve_variance"]
+                     and data.dtype == jnp.float32
+                     and _can_merge_whiten(data, statics["sf"], n_scales,
+                                           lazy_masked, need_planes=False,
+                                           allow_cpu=force))
+    if serving_merge or _can_fuse_whiten(
+            data, (1, 2), n_scales, statics["whitening"],
+            statics["preserve_variance"], h,
+            statics["bilateral"] is not None, allow_cpu=force):
+        # batched Pallas fast path: the fused kernels carry the frame
+        # dimension on a leading grid axis (no vmap, no per-frame
+        # dispatch); statistics are per frame inside the bodies
+        return wow_core(data, noise_arr, axes=(1, 2),
+                        fuse="force" if force else True,
+                        need_planes=with_coefficients, **statics)
+    # fallback (h >= 1 / preserve_variance / CPU / odd shapes):
+    # per-frame vmap of the XLA path (Pallas kernels cannot run under
+    # vmap)
+    fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
+                  in_axes=(0, 0))
+    if with_coefficients:
+        return fn(data, noise_arr)
+    # jit so XLA dead-code-eliminates the unused plane cube
+    recon = jax.jit(lambda d, nz: fn(d, nz)[0])(data, noise_arr)
+    return recon, None
+
+
 def wow_stack(data, noise=None, with_coefficients=True, **kwargs):
     """Per-frame WOW over a frame stack (B, H, W) — the batched 4k-frames
     serving path.  Statistics (MAD noise, residual std, gamma bounds) are
@@ -1070,23 +1119,4 @@ def wow_stack(data, noise=None, with_coefficients=True, **kwargs):
     else:
         noise_arr = jnp.zeros((data.shape[0],), data.dtype)
 
-    if _can_fuse_whiten(data, (1, 2), statics["n_scales"],
-                        statics["whitening"],
-                        statics["preserve_variance"], h,
-                        statics["bilateral"] is not None):
-        # batched Pallas fast path: the fused kernels carry the frame
-        # dimension on a leading grid axis (no vmap, no per-frame
-        # dispatch); statistics are per frame inside _wow_body_fused
-        return wow_core(data, noise_arr, axes=(1, 2), fuse=True,
-                        need_planes=with_coefficients, **statics)
-
-    # fallback (h >= 1 / preserve_variance / CPU / odd shapes):
-    # per-frame vmap of the XLA path (Pallas kernels cannot run under
-    # vmap)
-    fn = jax.vmap(lambda d, nz: wow_core(d, nz, fuse=False, **statics),
-                  in_axes=(0, 0))
-    if with_coefficients:
-        return fn(data, noise_arr)
-    # jit so XLA dead-code-eliminates the unused plane cube
-    recon = jax.jit(lambda d, nz: fn(d, nz)[0])(data, noise_arr)
-    return recon, None
+    return _stack_core(data, noise_arr, with_coefficients, statics)

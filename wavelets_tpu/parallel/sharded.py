@@ -24,10 +24,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.transform import normalize_bilateral
-from ..models.wow import _wow_body, normalize_wow_params
+from ..models.wow import _stack_core, _wow_body, normalize_wow_params
 from ..ops.conv import _noncenter_offsets
 from ..ops.filters import ScalingFunction
 from ..ops.layout import stack_planes
+from ..ops.stats import significance
 from .halo import halo_exchange_axis, halo_smooth_axis
 from .mesh import COL_AXIS, DATA_AXIS, ROW_AXIS
 from .reductions import (
@@ -222,6 +223,108 @@ def sharded_decompose(
     return jax.jit(fn)(x)
 
 
+def _tiled_wow_plan(Hl: int, Wl: int, n_scales: int,
+                    sf: ScalingFunction):
+    """Whiten-group plan for a spatially tiled mesh: the longest prefix
+    of scales coverable by the fused decompose+whiten kernels on the
+    *local* block, truncated where a group's halo would exceed the
+    single-neighbor ring reach (halo.py requires ``R <= local
+    extent``).  Scales past the prefix run the XLA halo chain."""
+    from ..ops import pallas_conv
+
+    if min(Hl, Wl) < 256:
+        return [], 0
+    groups, covered = pallas_conv.plan_wow_prefix(
+        Hl, Wl, n_scales, sf.half_width, 4)
+    out, cov = [], 0
+    for off, g in groups:
+        if pallas_conv._wow_group_halo(sf.half_width, off, g) > min(Hl, Wl):
+            break
+        out.append((off, g))
+        cov += g
+    return out, cov
+
+
+def _tiled_wow_local(
+    x, noise_v, *, groups, covered, sf, n_scales, weights, dcs,
+    soft_threshold, has_noise, n_rows, n_cols, rops, with_coefficients,
+    interpret,
+):
+    """Stage-2 sharded WOW body: per whiten group, halo-extend the
+    local block by the group reach (overlap-save — the same bitwise
+    argument as ops/pallas_conv._pad_split: every cropped output value
+    reads only genuine neighbor data), run the fused decompose+whiten
+    kernel locally, crop; uncovered/deep scales run the XLA halo chain
+    (deep reaches approach the tile extent, where halo_smooth_axis
+    degrades to the tiled all_gather).  Statistics are collectives via
+    ``rops``.  Matches the single-device fast path to kernel-vs-XLA
+    tolerance (the deep scales swap the stream kernel for the identical
+    XLA folds)."""
+    from ..ops import pallas_conv
+
+    sigma_e = sf.sigma_e(2, False)
+    batched = x.ndim == 3
+    if not has_noise and any(d != 0 for d in dcs[:n_scales]):
+        w0 = x - _smooth_local(x, sf, 0, n_rows, n_cols)
+        med = rops.median_abs(w0)
+        noise_v = (med / 0.6745 / float(sigma_e[0]))
+        noise_v = noise_v.reshape(noise_v.shape[:x.ndim - 2])
+    noise32 = jnp.asarray(noise_v, jnp.float32)
+    if batched and noise32.ndim == 0:
+        noise32 = jnp.broadcast_to(noise32, (x.shape[0],))
+    noise_b = noise32[:, None, None] if batched else noise32
+
+    out_rows = []
+    recon = None
+    cur = x
+    for off, g in groups:
+        R = pallas_conv._wow_group_halo(sf.half_width, off, g)
+        ext = _halo_extend_2d(cur, R, n_rows, n_cols)
+        fac = jnp.asarray([weights[off + k] for k in range(g)],
+                          jnp.float32)
+        thr = jnp.stack([
+            (dcs[off + k] * float(sigma_e[off + k])) * noise32
+            if dcs[off + k] != 0 else jnp.zeros_like(noise32)
+            for k in range(g)])
+        masked = tuple(dcs[off + k] != 0 for k in range(g))
+        rows_g, acc = pallas_conv._fused_wow_group(
+            ext, fac, thr, g, sf, offset=off, soft=soft_threshold,
+            masked=masked, need_cube=with_coefficients,
+            interpret=interpret)
+        crop = lambda a: a[..., R:-R, R:-R]
+        if with_coefficients:
+            out_rows.extend(crop(rows_g[k]) for k in range(g))
+        cur = crop(rows_g[g if with_coefficients else 0])
+        acc = crop(acc)
+        recon = acc if recon is None else recon + acc
+
+    for s in range(covered, n_scales):
+        c_next = _smooth_local(cur, sf, s, n_rows, n_cols)
+        c = cur - c_next
+        lp = _smooth_local(c * c, sf, s, n_rows, n_cols)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
+                                lp))
+        if dcs[s] != 0:
+            c = c * significance(c, dcs[s], noise_b, float(sigma_e[s]),
+                                 soft_threshold)
+        c = c * (weights[s] / lp)
+        if with_coefficients:
+            out_rows.append(c)
+        recon = c if recon is None else recon + c
+        cur = c_next
+
+    lp = rops.std(cur)
+    lp = jnp.where(lp <= 0, jnp.asarray(1e-15, cur.dtype), lp)
+    c = cur * (weights[n_scales] / lp)
+    recon = recon + c
+    if not with_coefficients:
+        return recon
+    out_rows.append(c)
+    if batched:
+        return recon, jnp.stack(out_rows, axis=1)
+    return recon, stack_planes(out_rows)
+
+
 def sharded_wow(
     data: jax.Array,
     mesh: Mesh,
@@ -247,9 +350,20 @@ def sharded_wow(
     Semantics of :func:`wavelets_tpu.models.wow.wow`, with global
     reductions as collectives and per-frame statistics along a sharded
     batch axis.  Returns ``(recon, planes)`` with the same sharding as
-    the input tiling.  ``with_coefficients=False`` returns ``(recon,
-    None)`` and lets XLA dead-code-eliminate the plane cube (per-shard
-    plane stores and their HBM footprint disappear under jit)."""
+    the input tiling; batched planes are batch-major ``(B, n_scales+1,
+    H, W)``, matching :func:`~wavelets_tpu.models.wow.wow_stack`.
+    ``with_coefficients=False`` returns ``(recon, None)`` and lets XLA
+    dead-code-eliminate the plane cube (per-shard plane stores and
+    their HBM footprint disappear under jit).
+
+    Dispatch mirrors the single-device engine: a data-axis-only mesh
+    routes each shard (whole frames) through the same fused/merged
+    Pallas kernels as :func:`wow_stack`; a spatially tiled mesh runs
+    the fused whiten groups on halo-extended local blocks
+    (:func:`_tiled_wow_local`).  Configurations outside the fast gates
+    (bilateral, gamma blend, preserve_variance, f64) run the XLA halo
+    body.  On the forced CPU test mesh the kernels run in interpret
+    mode so tests exercise the hardware dispatch."""
     from ..ops.filters import B3SPLINE
 
     if sf is None:
@@ -270,8 +384,81 @@ def sharded_wow(
                  else jnp.zeros((), data.dtype))
     total_count = int(np.prod(spatial_shape))
     batch_ndim = 1 if batched else 0
-    data_spec, planes_spec = _specs(mesh, batched)
+    data_spec, _ = _specs(mesh, batched)
+    # wow planes: batch-major for stacks (wow_stack layout), scale-major
+    # cube for single frames
+    planes_spec = (P(DATA_AXIS, None, ROW_AXIS, COL_AXIS) if batched
+                   else P(None, ROW_AXIS, COL_AXIS))
     rops = ShardedReduceOps(total_count, batch_ndim)
+    force = jax.default_backend() == "cpu"
+
+    # ---- stage 1: data-axis-only mesh — shards are whole frames; the
+    # single-device stack dispatch (fused/merged kernels, per-frame
+    # statistics) is correct and fastest per shard, no collectives
+    if batched and n_rows == 1 and n_cols == 1:
+        statics = dict(
+            sf=sf, n_scales=n_scales, weights=rec_w,
+            whitening=bool(whitening), denoise_coefficients=dcs,
+            bilateral=sigma_bilateral,
+            bilateral_scaling=bool(bilateral_scaling),
+            soft_threshold=bool(soft_threshold),
+            preserve_variance=bool(preserve_variance),
+            gamma=float(gamma),
+            gamma_min=None if gamma_min is None else float(gamma_min),
+            gamma_max=None if gamma_max is None else float(gamma_max),
+            h=float(h), has_noise=has_noise)
+        if has_noise and noise_arr.ndim == 0:
+            noise_arr = jnp.broadcast_to(noise_arr, (data.shape[0],))
+        elif not has_noise:
+            noise_arr = jnp.zeros((data.shape[0],), data.dtype)
+        noise_spec = P(DATA_AXIS)
+
+        def local_stack(x, nz):
+            r, p = _stack_core(x, nz, with_coefficients, statics,
+                               force=force)
+            return (r, p) if with_coefficients else r
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh
+        # annotation, which the default vma check rejects
+        fn = shard_map(
+            local_stack, mesh=mesh,
+            in_specs=(data_spec, noise_spec),
+            out_specs=((data_spec, planes_spec) if with_coefficients
+                       else data_spec),
+            check_vma=False)
+        data = jax.device_put(data, NamedSharding(mesh, data_spec))
+        noise_arr = jax.device_put(
+            noise_arr, NamedSharding(mesh, noise_spec))
+        out = jax.jit(fn)(data, noise_arr)
+        return out if with_coefficients else (out, None)
+
+    # ---- stage 2: spatially tiled mesh, fast configuration — fused
+    # whiten groups on halo-extended blocks, XLA halo chain for the
+    # deep tail
+    fast2 = (whitening and float(h) == 0 and sigma_bilateral is None
+             and not preserve_variance and data.dtype == jnp.float32)
+    if fast2:
+        Hl = spatial_shape[0] // n_rows
+        Wl = spatial_shape[1] // n_cols
+        groups, covered = _tiled_wow_plan(Hl, Wl, n_scales, sf)
+        if covered >= 1:
+            local_tiled = partial(
+                _tiled_wow_local, groups=tuple(groups), covered=covered,
+                sf=sf, n_scales=n_scales, weights=rec_w, dcs=dcs,
+                soft_threshold=bool(soft_threshold), has_noise=has_noise,
+                n_rows=n_rows, n_cols=n_cols, rops=rops,
+                with_coefficients=with_coefficients, interpret=force)
+            noise_spec = (P(DATA_AXIS)
+                          if batched and noise_arr.ndim == 1 else P())
+            fn = shard_map(
+                local_tiled, mesh=mesh,
+                in_specs=(data_spec, noise_spec),
+                out_specs=((data_spec, planes_spec) if with_coefficients
+                           else data_spec),
+                check_vma=False)
+            data = jax.device_put(data, NamedSharding(mesh, data_spec))
+            out = jax.jit(fn)(data, noise_arr)
+            return out if with_coefficients else (out, None)
 
     def local(x, noise_v):
         planes = _decompose_local(
@@ -287,6 +474,8 @@ def sharded_wow(
             smooth_fn=lambda p, s: _smooth_local(p, sf, s, n_rows, n_cols),
             rops=rops, n_dim=2,
         )
+        if batched:
+            out_planes = jnp.moveaxis(out_planes, 0, 1)
         return recon, out_planes
 
     fn = shard_map(
