@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Round-4 evidence run: every number published in DESIGN.md /
+BASELINE.md, regenerated from one run of the final tree and written to
+EVIDENCE_r04.json (verdict r3 item 1: every published number must be
+traceable to a committed artifact).
+
+Usage: cd /root/repo && python scripts/r4_evidence.py
+(TPU session; one TPU process at a time; ~15-20 min of compiles.)"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+W = importlib.import_module("wavelets_tpu.models.wow")
+from wavelets_tpu.core.transform import decompose
+from wavelets_tpu.models.denoise import denoise_core
+from wavelets_tpu.ops.filters import B3SPLINE, TRIANGLE
+from wavelets_tpu.ops.stats import median_abs
+
+ssum = jax.jit(jnp.sum)
+RESULTS = {}
+
+
+def timeit_on(fn, v, iters=10):
+    z = fn(v)
+    float(ssum(z))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(ssum(v))
+    rtt = (time.perf_counter() - t0) / 5
+    z = v
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        z = fn(z)
+    float(ssum(z))
+    return (time.perf_counter() - t0 - rtt) / iters
+
+
+def rec(key, dt, frames=1.0, note=""):
+    RESULTS[key] = {"ms": round(dt * 1e3, 3),
+                    "fps": round(frames / dt, 2)}
+    if note:
+        RESULTS[key]["note"] = note
+    print(f"{key}: {dt * 1e3:.2f} ms = {frames / dt:.1f} fps  {note}",
+          flush=True)
+
+
+def statics(n_scales, dcs, bilateral=None, has_noise=True, extent=4096,
+            **over):
+    n, w, d, sb = W.normalize_wow_params(
+        B3SPLINE, n_scales, [], list(dcs), bilateral, 0.0, 2, extent)
+    st = dict(sf=B3SPLINE, n_scales=n, weights=w, whitening=True,
+              denoise_coefficients=d, bilateral=sb,
+              bilateral_scaling=False, soft_threshold=True,
+              preserve_variance=False, gamma=3.2, gamma_min=None,
+              gamma_max=None, h=0.0, has_noise=has_noise)
+    st.update(over)
+    return st
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    RESULTS["env"] = {"devices": str(jax.devices()),
+                      "date": time.strftime("%Y-%m-%d")}
+    rng = np.random.default_rng(0)
+    big = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    float(ssum(big))
+
+    # ---- headline: 4k L10 standard WOW (BASELINE #4) ----------------
+    st10 = statics(None, [], has_noise=False)
+    rec("wow_4k_L10_planes", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, planes_layout="rows", **st10)[0]),
+        big))
+    rec("wow_4k_L10_serving", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, need_planes=False, **st10)[0]),
+        big))
+
+    # ---- north star: 4k L6 denoise [5,2] -----------------------------
+    st6 = statics(6, [5.0, 2.0])
+    rec("wow_4k_L6_denoise_known_noise", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one, planes_layout="rows", **st6)[0]),
+        big))
+    st6l = dict(st6, has_noise=False)
+    rec("wow_4k_L6_denoise_lazy_noise", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, planes_layout="rows", **st6l)[0]),
+        big))
+
+    # ---- bf16 (dtype-preserving engine; BF16_MERGED dispatch) -------
+    b16 = big.astype(jnp.bfloat16)
+    rec("wow_4k_L6_bf16_known_noise", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one.astype(jnp.bfloat16),
+                             planes_layout="rows", **st6)[0]), b16))
+    rec("wow_4k_L10_bf16", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero.astype(jnp.bfloat16),
+                             planes_layout="rows", **st10)[0]), b16),
+        note="merged groups in bf16; deep tail falls back to XLA")
+
+    # ---- batched serving: 4x4k L6 stack ------------------------------
+    stack4 = jnp.stack([big, big * 0.5, big + 1.0, big * 2.0])
+    rec("wow_stack_4x4k_L6_serving", timeit_on(jax.jit(
+        lambda v: W.wow_stack(v, n_scales=6,
+                              denoise_coefficients=[5, 2],
+                              with_coefficients=False)[0]),
+        stack4, iters=5), frames=4.0)
+
+    # ---- sharded engine, per-chip rate (1-chip mesh: the same fused
+    # kernels per shard — the per-chip term of the scaling story) -----
+    from wavelets_tpu.parallel import make_mesh
+    from wavelets_tpu.parallel.sharded import sharded_wow
+
+    mesh1 = make_mesh(data=1, rows=1, cols=1)
+    b1 = big[None]
+    f_sh = lambda v: sharded_wow(v, mesh1, n_scales=6,
+                                 denoise_coefficients=[5, 2], noise=1.0,
+                                 with_coefficients=False)[0]
+    rec("sharded_wow_1chip_4k_L6_serving", timeit_on(f_sh, b1),
+        note="data-axis mesh, fused kernels per shard")
+
+    # ---- bilateral: 4k auto-L10, stack serving, 8k -------------------
+    stb = statics(None, [5.0, 2.0], bilateral=1)
+    nb = stb["n_scales"]
+    rec(f"wow_4k_bilateral_L{nb}", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one, planes_layout="rows", **stb)[0]),
+        big))
+    rec("wow_stack_4x4k_bilateral_L6_serving", timeit_on(jax.jit(
+        lambda v: W.wow_stack(v, n_scales=6, bilateral=1,
+                              denoise_coefficients=[5, 2],
+                              with_coefficients=False)[0]),
+        stack4, iters=5), frames=4.0)
+
+    # ---- odd (non-tile-divisible) shapes: pad-to-tile overhead ------
+    xo = jnp.asarray(rng.normal(size=(4112, 4100)).astype(np.float32))
+    sto = statics(None, [], has_noise=False, extent=4100)
+    rec("wow_4112x4100_L10", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, planes_layout="rows", **sto)[0]),
+        xo))
+    sto6 = statics(6, [], has_noise=False, extent=4100)
+    rec("wow_4112x4100_L6", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, planes_layout="rows", **sto6)[0]),
+        xo))
+    st6p = statics(6, [], has_noise=False)
+    rec("wow_4096_L6_same_config", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, zero, planes_layout="rows", **st6p)[0]),
+        big))
+    ov = (RESULTS["wow_4112x4100_L6"]["ms"]
+          / RESULTS["wow_4096_L6_same_config"]["ms"] - 1) * 100
+    px = (4112 * 4100) / (4096 * 4096) * 100 - 100
+    RESULTS["pad_overhead"] = {
+        "pct": round(ov, 1), "extra_pixels_pct": round(px, 1)}
+    print(f"pad overhead: {ov:.1f}% wall for {px:.1f}% extra pixels",
+          flush=True)
+
+    # ---- 3-D volume and 1-D (first-class reference paths) -----------
+    vol = jnp.asarray(
+        rng.normal(size=(64, 1024, 1024)).astype(np.float32))
+    rec("denoise_64x1024x1024_3scale", timeit_on(jax.jit(
+        lambda v: denoise_core(v, None, (5.0, 3.0, 2.0), B3SPLINE)),
+        vol, iters=5), note="3-D volume transform, XLA path")
+    sig = jnp.asarray(rng.normal(size=(1 << 20,)).astype(np.float32))
+    rec("transform_1d_1M_L8_roundtrip", timeit_on(jax.jit(
+        lambda v: jnp.sum(decompose(v, 8, B3SPLINE), 0)), sig))
+
+    # ---- smaller configs (BASELINE rows 1-3) -------------------------
+    x2k = jnp.asarray(rng.normal(size=(2048, 2048)).astype(np.float32))
+    rec("denoise_2k_3sigma_soft", timeit_on(jax.jit(
+        lambda v: denoise_core(v, None, (3.0, 3.0, 3.0), B3SPLINE)),
+        x2k))
+    rec("denoise_2k_3sigma_hard", timeit_on(jax.jit(
+        lambda v: denoise_core(v, None, (3.0, 3.0, 3.0), B3SPLINE,
+                               soft_threshold=False)), x2k))
+    x512 = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+    rec("denoise_512_triangle_2scale", timeit_on(jax.jit(
+        lambda v: denoise_core(v, None, (5.0, 3.0), TRIANGLE)), x512))
+    x1k = jnp.asarray(rng.normal(size=(1024, 1024)).astype(np.float32))
+    rt = jax.jit(lambda v: jnp.sum(decompose(v, 6, B3SPLINE), 0))
+    rec("roundtrip_1k_L6", timeit_on(rt, x1k))
+    RESULTS["roundtrip_1k_L6"]["max_err_f32"] = float(
+        jnp.abs(rt(x1k) - x1k).max())
+
+    # ---- component kernels -------------------------------------------
+    rec("decompose_4k_L6", timeit_on(jax.jit(
+        lambda v: jnp.sum(decompose(v, 6, B3SPLINE), 0)), big))
+    rec("median_abs_4k", timeit_on(jax.jit(
+        lambda v: v + median_abs(v)), big))
+
+    # ---- Richardson-Lucy ---------------------------------------------
+    from wavelets_tpu.models.richardson_lucy import richardson_lucy_core
+
+    psf = jnp.asarray(np.outer(*(np.hanning(15),) * 2).astype(np.float32))
+    psf = psf / psf.sum()
+    for fft in (False, True):
+        f = jax.jit(lambda v, fft=fft: richardson_lucy_core(
+            v, psf, iterations=10, denoise_coefficients=(5.0, 2.0, 1.0),
+            threshold_type="soft", fft=fft))
+        rec(f"richardson_lucy_1k_10it_{'fft' if fft else 'direct'}",
+            timeit_on(f, x1k, iters=5))
+
+    # ---- 8k rows (slowest compiles last) ------------------------------
+    big8 = jnp.asarray(rng.normal(size=(8192, 8192)).astype(np.float32))
+    st8 = statics(None, [5.0, 2.0], extent=8192)
+    n8 = st8["n_scales"]
+    rec(f"wow_8k_L{n8}_denoise_planes", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one, planes_layout="rows", **st8)[0]),
+        big8, iters=5))
+    rec(f"wow_8k_L{n8}_denoise_serving", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one, need_planes=False, **st8)[0]),
+        big8, iters=5))
+    stb8 = statics(None, [5.0, 2.0], bilateral=1, extent=8192)
+    rec(f"wow_8k_bilateral_L{stb8['n_scales']}", timeit_on(jax.jit(
+        lambda a: W.wow_core(a, one, planes_layout="rows", **stb8)[0]),
+        big8, iters=5))
+
+    with open("EVIDENCE_r04.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print("WROTE EVIDENCE_r04.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

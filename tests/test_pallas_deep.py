@@ -366,3 +366,96 @@ def test_can_deep_bilateral_gates():
     assert not can_deep_bilateral(x.astype(jnp.float64), B3SPLINE, 4)
     assert not can_deep_bilateral(
         jnp.zeros((1, 512, 500), jnp.float32), B3SPLINE, 4)  # W % 128
+
+
+# ---- fused scale pair (deep_whiten_step2, round 4) --------------------
+
+from wavelets_tpu.ops.pallas_deep import can_deep2, deep_whiten_step2
+
+
+def _ref_pair(carry, s, weights=(1.0, 1.0), thresholds=(0.0, 0.0),
+              soft=True):
+    w1, c1 = _ref_step(carry, s, weights[0], thresholds[0], soft)
+    w2, c2 = _ref_step(c1, s + 1, weights[1], thresholds[1], soft)
+    return w1, w2, c2
+
+
+@pytest.mark.parametrize("s", [4, 5])
+def test_deep_step2_matches_xla(img32, s):
+    x = img32[None]
+    assert can_deep2(x, B3SPLINE, s, None)
+    w1, w2, r_out, cn = deep_whiten_step2(
+        x, None, jnp.zeros((2, 1)), sf=B3SPLINE, scale=s,
+        weights=(1.0, 1.0), masked=(False, False), interpret=True)
+    assert r_out is None
+    ref1, ref2, ref_c = _ref_pair(img32, s)
+    assert_ulp(cn[0], ref_c, ulps=8)  # two chained smooths
+    for got, ref in ((w1[0], ref1), (w2[0], ref2)):
+        d = float(jnp.abs(got - ref).max())
+        scale = float(jnp.abs(ref).max())
+        assert d < 5e-6 * max(scale, 1)
+
+
+def test_deep_step2_matches_chained_singles(img32):
+    """Pair == two chained single-scale stream launches (same folds)."""
+    s = 4
+    x = img32[None]
+    w1p, w2p, _, cn2 = deep_whiten_step2(
+        x, None, jnp.zeros((2, 1)), sf=B3SPLINE, scale=s,
+        weights=(1.5, 0.5), masked=(False, False), interpret=True)
+    wa, _, ca = deep_whiten_step(
+        x, None, jnp.zeros((1,)), sf=B3SPLINE, scale=s, weight=1.5,
+        masked=False, interpret=True)
+    wb, _, cb = deep_whiten_step(
+        ca, None, jnp.zeros((1,)), sf=B3SPLINE, scale=s + 1, weight=0.5,
+        masked=False, interpret=True)
+    assert_ulp(cn2, cb, ulps=8)
+    assert_ulp(w1p, wa, ulps=8)
+    sc = float(jnp.abs(wb).max())
+    assert float(jnp.abs(w2p - wb).max()) < 5e-6 * max(sc, 1)
+
+
+def test_deep_step2_masked_per_frame(rng):
+    stack = jnp.asarray(
+        rng.normal(size=(2, 512, 512)).astype(np.float32))
+    thr = jnp.asarray([[0.5, 0.0], [0.3, 0.7]], jnp.float32).T  # (2, B)
+    for soft in (True, False):
+        w1, w2, _, cn = deep_whiten_step2(
+            stack, None, thr, sf=B3SPLINE, scale=4, weights=(2.0, 1.2),
+            soft=soft, masked=(True, True), interpret=True)
+        for b in range(2):
+            ref1, ref2, ref_c = _ref_pair(
+                stack[b], 4, (2.0, 1.2),
+                (float(thr[0, b]), float(thr[1, b])), soft)
+            assert_ulp(cn[b], ref_c, ulps=8)
+            for got, ref in ((w1[b], ref1), (w2[b], ref2)):
+                d = float(jnp.abs(got - ref).max())
+                scale = float(jnp.abs(ref).max())
+                assert d < 5e-6 * max(scale, 1), (b, soft, d)
+
+
+def test_deep_step2_accum_serving(img32):
+    """write_plane=False + in-kernel recon accumulation (serving)."""
+    x = img32[None]
+    recon = x * 0.25
+    w1, w2, r_out, cn = deep_whiten_step2(
+        x, recon, jnp.zeros((2, 1)), sf=B3SPLINE, scale=4,
+        weights=(1.0, 1.0), masked=(False, False), write_plane=False,
+        interpret=True)
+    assert w1 is None and w2 is None
+    w1b, w2b, _, cnb = deep_whiten_step2(
+        x, None, jnp.zeros((2, 1)), sf=B3SPLINE, scale=4,
+        weights=(1.0, 1.0), masked=(False, False), interpret=True)
+    assert np.array_equal(np.asarray(cn), np.asarray(cnb))
+    ref = recon + (w1b + w2b)
+    sc = float(jnp.abs(ref).max())
+    assert float(jnp.abs(r_out - ref).max()) < 5e-6 * max(sc, 1)
+
+
+def test_can_deep2_gates(img32):
+    x = img32[None]
+    assert can_deep2(x, B3SPLINE, 4, None)
+    assert not can_deep2(x, B3SPLINE, 6, None)   # M = 8 < 5hw+1
+    assert not can_deep2(x, B3SPLINE, 3, None)   # Rc = 16 < 32
+    assert not can_deep2(x, B3SPLINE, 4, (1.0,) * 6)  # bilateral
+    assert not can_deep2(x.astype(jnp.float64), B3SPLINE, 4, None)

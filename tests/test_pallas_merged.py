@@ -215,7 +215,13 @@ def test_merged_need_planes_recon_bitwise(rng):
                                   **kw)
     assert none is None
     assert cube.shape[0] == 7
-    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    # bitwise on hardware (same kernels either way; asserted per round
+    # by scripts/tpu_check.py); on CPU the *interpret-mode* kernel ops
+    # inline into two different XLA programs whose fusion/FMA
+    # contraction can differ by 1 ulp (cf. tests/test_pallas_deep.py
+    # module docstring)
+    tol = 4 * np.finfo(np.float32).eps * float(np.abs(r1).max())
+    assert float(np.abs(np.asarray(r1) - np.asarray(r2)).max()) <= tol
 
 
 def test_merged_batched_serving(rng):

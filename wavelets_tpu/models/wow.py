@@ -204,7 +204,40 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
     interp = jax.default_backend() == "cpu"
     noise_b = noise32[:, None, None] if batched else noise32
     rows = []
-    for s in range(tail_start, n_scales):
+    s = tail_start
+    while s < n_scales:
+        if (s + 1 < n_scales
+                and (carry.shape[-2] >> s) <= 32
+                and pallas_deep.can_deep2(carry, sf, s, bilateral)):
+            # fused scale pair: the intermediate carry (scale-s smooth)
+            # never leaves VMEM — one read + one carry write for two
+            # scales instead of two of each (ops/pallas_deep.py
+            # _make_stream2_kernel).  Hardware A/B (r4_tile_probe,
+            # 2026-08-20): the pair wins only where the class streams
+            # are short (M = H/2^s ≤ 32 — extension re-fetch dominates
+            # the singles there: 1.95 vs 2.06 ms for s=8,9 at 4k²);
+            # at shallow scales two single launches pipeline better
+            # (1.24 vs 1.56 ms for s=4,5).  Parity is bitwise.
+            carry_b = carry if batched else carry[None]
+            thr2 = jnp.stack([
+                (denoise_coefficients[s] * float(sigma_e[s])) * noise32,
+                (denoise_coefficients[s + 1] * float(sigma_e[s + 1]))
+                * noise32])
+            w1p, w2p, _, carry_b = pallas_deep.deep_whiten_step2(
+                carry_b, None, thr2, sf=sf, scale=s,
+                weights=(float(weights[s]), float(weights[s + 1])),
+                soft=soft_threshold,
+                masked=(denoise_coefficients[s] != 0,
+                        denoise_coefficients[s + 1] != 0),
+                write_plane=True, interpret=interp)
+            for w in (w1p, w2p):
+                w = w if batched else w[0]
+                if write_planes:
+                    rows.append(w)
+                recon = w if recon is None else recon + w
+            carry = carry_b if batched else carry_b[0]
+            s += 2
+            continue
         if pallas_deep.can_deep(carry, sf, s, bilateral):
             carry_b = carry if batched else carry[None]
             thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
@@ -227,6 +260,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
                 rows.append(w)
             recon = w if recon is None else recon + w
             carry = carry_b if batched else carry_b[0]
+            s += 1
             continue
         if (bilateral is not None and not interp
                 and pallas_deep.can_deep_bilateral(carry, sf, s)):
@@ -249,6 +283,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
                 rows.append(w)
             recon = w if recon is None else recon + w
             carry = carry_b if batched else carry_b[0]
+            s += 1
             continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                               bilateral, bilateral_scaling)
@@ -264,6 +299,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             rows.append(c)
         recon = c if recon is None else recon + c
         carry = c_next
+        s += 1
     return rows, recon, carry
 
 

@@ -362,9 +362,16 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
 #: measured platform constants (perf_probe.py on the axon v5e): plain
 #: XLA streams at ~700-860 GB/s; a manual-DMA grid step costs ~5-10 µs
 #: of scalar sequencing; the VPU sustains ~3.5 Top/s on f32 stencils.
+#: Mosaic scoped-VMEM ceiling override: the default (~21 MB) forces
+#: tile plans whose grid-step count dominates wall time (6 us/step);
+#: the v5e has 128 MiB of VMEM, so kernels request a higher ceiling
+#: and _plan_tiles prices the bigger tiles (probe: scripts/r4_tile_probe.py)
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+
 _BW = 700e9
-_STEP_OVH = 6e-6
+_STEP_OVH = 4e-6
 _VPU = 3.5e12
+_VPU_EFF = 1.1e12
 #: XLA shift-add fallback cost per scale, expressed in image-moves at
 #: _BW (measured ~2.07 ms/scale at 4k² f32 → ≈ 21 effective moves: the
 #: pads materialize and the pass fusions stream well below the copy
@@ -396,7 +403,15 @@ def _vmem_bytes(TH: int, TW: int, level: int, R: int,
 
 
 def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
-    """Cost model (seconds) for one fused group over the full image."""
+    """Cost model (seconds) for one fused group over the full image.
+
+    Round-4 refit against a hardware tile sweep (scripts/r4_tile_probe
+    on the v5e, group (0,4) at 4k²: 3.22/3.05/2.77 ms for 256×512 /
+    512×512 / 1024×1024): the whiten kernels behave as *serialized*
+    DMA + VPU (the in-step wait → fold → copy-out chain overlaps
+    poorly), with an effective VPU rate near 1.1 Tops for the strided
+    ext-buffer folds and ~4 µs/grid-step sequencing.  max()-overlap
+    with the paper VPU rate underpriced big tiles by 3×."""
     Rr, Rc = _aligned_halos(R)
     steps = (H // TH) * (W // TW)
     if W // TW > 1:
@@ -409,7 +424,7 @@ def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
     bytes_ = H * W * itemsize * (amp + g + 1 + (1 if whiten else 0))
     vpu_amp = (TH + 2 * Rr) * (TW + 2 * Rc) / (TH * TW)
     vpu = H * W * vpu_amp * g * (4 if whiten else 2) * 6
-    return max(bytes_ / _BW, vpu / _VPU) + steps * _STEP_OVH
+    return bytes_ / _BW + vpu / _VPU_EFF + steps * _STEP_OVH
 
 
 def _pad_split(n: int, R: int, T: int) -> Tuple[int, int, int]:
@@ -431,15 +446,15 @@ def _pad_split(n: int, R: int, T: int) -> Tuple[int, int, int]:
 
 
 def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
-                budget: int = 13 << 20,
+                budget: int = 90 << 20,
                 whiten: bool = False) -> Optional[Tuple[int, int]]:
     """Cheapest feasible tile pair under the cost model.  Extents that
     are not tile-divisible are priced at their padded size (see
     :func:`_pad_split`); the kernels pad-and-crop internally."""
     cands = []
-    for TH in (512, 256, 128):
+    for TH in (1024, 512, 256, 128):
         Hp = _pad_split(H, R, TH)[2]
-        for TW in (512, 256, 128):
+        for TW in (1024, 512, 256, 128):
             Wp = _pad_split(W, R, TW)[2]
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
@@ -533,6 +548,7 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
             lambda b, i, j: (0, b, i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(xp)
     if (Hp, Wp) != (H, W):
@@ -611,6 +627,7 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(plane_spec,) * (n_rows + 1),
         scratch_shapes=scratch,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(factors.astype(jnp.float32),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),

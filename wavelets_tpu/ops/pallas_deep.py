@@ -67,6 +67,7 @@ from .pallas_conv import _exact_dot, _exact_dot_left, _flip_mats
 from .pallas_wow import _erf_pos
 
 __all__ = ["deep_whiten_step", "can_deep", "deep_block_rows",
+           "deep_whiten_step2", "can_deep2",
            "deep_bilateral_whiten_step", "can_deep_bilateral",
            "deep_whiten_plane", "can_deep_plane"]
 
@@ -75,6 +76,9 @@ __all__ = ["deep_whiten_step", "can_deep", "deep_block_rows",
 #: + live elementwise temps.  Calibrated on the v5e: (T·W) = 16·4096
 #: compiles inside the full WOW program; 32·4096 fits standalone but
 #: exceeds scoped VMEM (21 MB) when co-scheduled in the pipeline.
+#: Mosaic scoped-VMEM ceiling override (cf. pallas_conv._VMEM_PARAMS)
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+
 _FOOTPRINT_BUFS = 34
 _VMEM_BUDGET = 12 << 20
 
@@ -526,6 +530,7 @@ def deep_whiten_step(
                 pltpu.VMEM((T2, W + 2 * max(Rc, 128)), jnp.float32),
                 pltpu.SemaphoreType.DMA((NC,)),
             ],
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*operands)
     else:
@@ -573,6 +578,7 @@ def deep_whiten_step(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[pltpu.VMEM((T, W + 2 * Rc), jnp.float32)],
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(*operands)
 
@@ -581,6 +587,350 @@ def deep_whiten_step(
     recon_out = outs.pop(0) if accum else None
     white = outs.pop(0) if write_plane else None
     return white, recon_out, cnext
+
+
+#: pair-stream footprint in T·W f32 buffers: carry ring (6hw+2) +
+#: cnext1 ring (8hw+1) + cnext2 ring (4hw+1) + ext + revolving outputs
+#: + elementwise temps ≈ 53 for hw=2.
+_STREAM2_BUFS = 53
+_STREAM2_BUDGET = 16 << 20
+
+
+def _stream2_rows(H: int, W: int, D: int) -> int:
+    """Pair-stream block height: divides the *base* dilation and the
+    image height, VMEM fit for the doubled ring footprint."""
+    for T in (32, 16, 8):
+        if D % T or H % T:
+            continue
+        if _STREAM2_BUFS * T * W * 4 <= _STREAM2_BUDGET:
+            return T
+    return 0
+
+
+def can_deep2(carry: jax.Array, sf: ScalingFunction, scale: int,
+              bilateral) -> bool:
+    """Whether the fused two-scale deep step applies to scales
+    ``(scale, scale+1)``: plain f32 chain, the base scale feasible for
+    the v3 stream (``hw·2^s ≥ 32``), single-bounce row reflection for
+    the pair's ±5hw stream positions (``M = H/D ≥ 5hw+1``) and
+    single-bounce column reflection for the second scale's mirror
+    (``W ≥ 2hw·2^(s+1)``)."""
+    if bilateral is not None or carry.dtype != jnp.float32:
+        return False
+    if carry.ndim not in (2, 3):
+        return False
+    H, W = carry.shape[-2:]
+    D = 1 << scale
+    hw = sf.half_width
+    if W % 128 or hw * D < 32:
+        return False
+    if H % D or (H // D) < 5 * hw + 1:
+        return False
+    if W < 4 * hw * D:  # scale-2 column mirror, single bounce
+        return False
+    return _stream2_rows(H, W, D) > 0
+
+
+def _make_stream2_kernel(taps, T: int, W: int, D: int, M: int,
+                         weights, soft: bool, masked, write_plane: bool,
+                         accum: bool = False):
+    """Two consecutive deep scales fused into one stream launch.
+
+    All row offsets of scale ``s`` (±j·D) *and* scale ``s+1`` (±j·2D)
+    are multiples of ``D``, so both scales live inside the same residue
+    class c (mod D in T-blocks) — the class stream of
+    :func:`_make_stream_kernel` extends to carry a second computed-
+    smooth ring and the intermediate carry never touches HBM:
+
+    * ``cn1`` ring (8hw+1): chain smooth of scale s, computed once at
+      lookahead ``t+4hw`` (scale s+1's own lookahead chain consumes
+      positions up to ``t+4hw``).
+    * ``cn2`` ring (4hw+1): chain smooth of scale s+1 over ``cn1`` at
+      even offsets, computed at lookahead ``t+2hw``.
+    * whiten both scales at stream position ``t``; the carry output is
+      ``cn2(t)`` — one read + one carry write + the plane writes where
+      two launches paid two reads + two carry writes.
+
+    Traffic per scale pair (planes mode): ~(1+ε) read + 3 writes vs 6
+    moves for two single launches.  The prologue fetches positions
+    ``−5hw..hw+1`` as a batch, then rolls one fetch per computed
+    ``cn1`` (the fetched slot is the one the just-consumed position
+    freed), so the pair needs ``M ≥ 5hw+1`` for single-bounce
+    reflection.  Fold order, clamps, masking identical to two chained
+    :func:`_make_stream_kernel` launches (bitwise on hardware)."""
+    hw = (len(taps) - 1) // 2
+    Rc = hw * D
+    Rc2 = 2 * Rc
+    DT = D // T
+    NC = 6 * hw + 2
+    N1 = 8 * hw + 1
+    N2 = 4 * hw + 1
+    E0 = max(Rc2, 128)
+    w1, w2 = weights
+    m1, m2 = masked
+
+    def kernel(*refs):
+        thr_ref = refs[0]
+        carry_hbm = refs[1]
+        refs = refs[2:]
+        if accum:
+            recon_ref = refs[0]
+            refs = refs[1:]
+        cnext_ref = refs[0]
+        refs = refs[1:]
+        if accum:
+            recon_out = refs[0]
+            refs = refs[1:]
+        if write_plane:
+            plane1_ref, plane2_ref = refs[:2]
+            refs = refs[2:]
+        ring, cn1, cn2, ext, sems = refs
+
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        t = pl.program_id(2)
+
+        def slot(p):
+            return jax.lax.rem(
+                jnp.asarray(p + 5 * hw, jnp.int32), jnp.int32(NC))
+
+        def s1(q):
+            return jax.lax.rem(
+                jnp.asarray(q + 4 * hw, jnp.int32), jnp.int32(N1))
+
+        def s2(q):
+            return jax.lax.rem(
+                jnp.asarray(q + 2 * hw, jnp.int32), jnp.int32(N2))
+
+        def pos_dma(p):
+            a = c + jnp.asarray(p, jnp.int32) * DT
+            a = jnp.where(a < 0, -a - 1, a)
+            a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
+            sl = slot(p)
+            r0 = pl.multiple_of(a * T, 8)
+            return pltpu.make_async_copy(
+                carry_hbm.at[b, pl.ds(r0, T), :],
+                ring.at[sl], sems.at[sl])
+
+        def flip_ext(p, is_ext):
+            def do():
+                sl = slot(p)
+                ring[sl] = _rev_sublanes(ring[sl], T)
+
+            if isinstance(is_ext, bool):
+                if is_ext:
+                    do()
+            else:
+                pl.when(is_ext)(do)
+
+        def vblk(p):
+            return ring[slot(p)]
+
+        def wpass(val, dil):
+            # dilated column pass with in-kernel symmetric mirror; the
+            # shared ext buffer is sized for the wider scale (E0)
+            Rk = hw * dil
+            Rm = max(Rk, 128)
+            ext[:, E0:E0 + W] = val
+            ext[:, E0 - Rm:E0] = _rev_lanes(val[:, 0:Rm], Rm)
+            ext[:, E0 + W:E0 + W + Rm] = _rev_lanes(
+                val[:, W - Rm:W], Rm)
+            out = val * taps[hw]
+            for j in range(1, hw + 1):
+                left = ext[:, E0 - j * dil:E0 - j * dil + W]
+                right = ext[:, E0 + j * dil:E0 + j * dil + W]
+                out = out + taps[hw + j] * (left + right)
+            return out
+
+        def compute_cn1(q):
+            h = vblk(q) * taps[hw]
+            for j in range(1, hw + 1):
+                h = h + taps[hw + j] * (vblk(q - j) + vblk(q + j))
+            cn1[s1(q)] = wpass(h, D)
+
+        def compute_cn2(q):
+            h = cn1[s1(q)] * taps[hw]
+            for j in range(1, hw + 1):
+                h = h + taps[hw + j] * (cn1[s1(q - 2 * j)]
+                                        + cn1[s1(q + 2 * j)])
+            cn2[s2(q)] = wpass(h, 2 * D)
+
+        # ---- prologue: batch fetch + rolling compute ------------------
+        @pl.when(t == 0)
+        def _():
+            for p in range(-5 * hw, hw + 2):
+                pos_dma(p).start()
+            for p in range(-5 * hw, -3 * hw):
+                pos_dma(p).wait()
+                flip_ext(p, p < 0 or p >= M)
+            for q in range(-4 * hw, 4 * hw + 1):
+                if q > 0:
+                    # depth-1 prefetch; evicts position q-5hw-1, behind
+                    # both the cn1 window (q-hw) and whiten(0)'s -hw
+                    pos_dma(q + hw + 1).start()
+                p = q + hw
+                pos_dma(p).wait()
+                flip_ext(p, p < 0 or p >= M)
+                compute_cn1(q)
+                if q >= 0:
+                    compute_cn2(q - 2 * hw)
+
+        # ---- steady state ---------------------------------------------
+        @pl.when(t > 0)
+        def _():
+            # prologue fetched through 5hw+1; evicting t-hw-1 is safe
+            # (whiten(t) reads down to t-hw)
+            @pl.when(t <= M - 2)
+            def _():
+                pos_dma(t + 5 * hw + 1).start()
+
+            pw = t + 5 * hw
+            pos_dma(pw).wait()
+            flip_ext(pw, pw >= M)
+            compute_cn1(t + 4 * hw)
+            compute_cn2(t + 2 * hw)
+
+        # ---- whiten scale s at t ---------------------------------------
+        d1c = vblk(t) - cn1[s1(t)]
+        tp = (d1c * d1c) * taps[hw]
+        for j in range(1, hw + 1):
+            dm = vblk(t - j) - cn1[s1(t - j)]
+            dp = vblk(t + j) - cn1[s1(t + j)]
+            tp = tp + taps[hw + j] * (dm * dm + dp * dp)
+        lp = wpass(tp, D)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+        wc = d1c
+        if m1:
+            thr_b = thr_ref[0, b]
+            safe_t = jnp.where(thr_b == 0, jnp.float32(1.0), thr_b)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
+        white1 = wc * (w1 / lp)
+
+        # ---- whiten scale s+1 at t -------------------------------------
+        d2c = cn1[s1(t)] - cn2[s2(t)]
+        tp = (d2c * d2c) * taps[hw]
+        for j in range(1, hw + 1):
+            dm = cn1[s1(t - 2 * j)] - cn2[s2(t - 2 * j)]
+            dp = cn1[s1(t + 2 * j)] - cn2[s2(t + 2 * j)]
+            tp = tp + taps[hw + j] * (dm * dm + dp * dp)
+        lp = wpass(tp, 2 * D)
+        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.float32(1e-15), lp))
+        wc = d2c
+        if m2:
+            thr_b = thr_ref[1, b]
+            safe_t = jnp.where(thr_b == 0, jnp.float32(1.0), thr_b)
+            if soft:
+                mask = _erf_pos(jnp.abs(wc) / safe_t)
+            else:
+                mask = (jnp.abs(wc) > safe_t).astype(jnp.float32)
+            wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
+        white2 = wc * (w2 / lp)
+
+        cnext_ref[0] = cn2[s2(t)]
+        if accum:
+            recon_out[0] = recon_ref[0] + (white1 + white2)
+        if write_plane:
+            plane1_ref[0] = white1
+            plane2_ref[0] = white2
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sf", "scale", "weights", "soft", "masked",
+                     "write_plane", "interpret"))
+def deep_whiten_step2(
+    carry: jax.Array,
+    recon,
+    thresholds: jax.Array,
+    *,
+    sf: ScalingFunction,
+    scale: int,
+    weights,
+    soft: bool = True,
+    masked=(False, False),
+    write_plane: bool = True,
+    interpret: bool = False,
+):
+    """Two consecutive deferred-tail WOW scales ``(scale, scale+1)``
+    fused in one launch: returns ``(white_s, white_s1, recon',
+    c_next2)`` — the intermediate carry (scale s's smooth) lives only
+    in the VMEM ring, halving the deep tail's HBM traffic per pair.
+    ``thresholds``: ``(2, B)`` per-scale/per-frame significance
+    thresholds; ``weights``/``masked``: static pairs.  ``recon=None``
+    skips in-kernel reconstruction accumulation (the caller's XLA sum
+    fuses the adds); whites are None when ``write_plane=False``.
+    Numerically identical to two chained :func:`deep_whiten_step`
+    launches (same folds, same clamps; reference loop
+    watroo/utils.py:174-203)."""
+    accum = recon is not None
+    assert accum or write_plane
+    B, H, W = carry.shape
+    D = 1 << scale
+    hw = sf.half_width
+    T = _stream2_rows(H, W, D)
+    if T == 0:
+        raise ValueError("deep_whiten_step2: infeasible geometry (use "
+                         "can_deep2 before dispatch)")
+    M = H // D
+    DT = D // T
+    grid = (B, DT, M)
+
+    def omap(b, c, t):
+        return (b, c + t * DT, 0)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [jnp.broadcast_to(
+        thresholds.astype(jnp.float32).reshape(2, -1), (2, B)), carry]
+    if accum:
+        in_specs.append(pl.BlockSpec((1, T, W), omap))
+        operands.append(recon)
+    out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, T, W), omap)]
+    if accum:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, W), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, T, W), omap))
+    if write_plane:
+        out_shapes += [jax.ShapeDtypeStruct((B, H, W), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, T, W), omap)] * 2
+
+    NC = 6 * hw + 2
+    N1 = 8 * hw + 1
+    N2 = 4 * hw + 1
+    Rc2 = 2 * hw * D
+    E0 = max(Rc2, 128)
+    kernel = _make_stream2_kernel(
+        sf.taps, T, W, D, M,
+        (float(weights[0]), float(weights[1])), soft,
+        (bool(masked[0]), bool(masked[1])), write_plane, accum)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((NC, T, W), jnp.float32),
+            pltpu.VMEM((N1, T, W), jnp.float32),
+            pltpu.VMEM((N2, T, W), jnp.float32),
+            pltpu.VMEM((T, W + 2 * E0), jnp.float32),
+            pltpu.SemaphoreType.DMA((NC,)),
+        ],
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*operands)
+    outs = list(outs)
+    cnext = outs.pop(0)
+    recon_out = outs.pop(0) if accum else None
+    white1 = outs.pop(0) if write_plane else None
+    white2 = outs.pop(0) if write_plane else None
+    return white1, white2, recon_out, cnext
 
 
 def _plane_rows(H: int, W: int, D: int) -> int:
