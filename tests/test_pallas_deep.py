@@ -459,3 +459,21 @@ def test_can_deep2_gates(img32):
     assert not can_deep2(x, B3SPLINE, 3, None)   # Rc = 16 < 32
     assert not can_deep2(x, B3SPLINE, 4, (1.0,) * 6)  # bilateral
     assert not can_deep2(x.astype(jnp.float64), B3SPLINE, 4, None)
+
+
+def test_deep_step2_triangle_hw1(rng):
+    """Generic-hw ring math: Triangle (hw=1) pair at s=5."""
+    from wavelets_tpu.ops.filters import TRIANGLE
+
+    img = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+    assert can_deep2(img[None], TRIANGLE, 5, None)
+    w1, w2, _, cn = deep_whiten_step2(
+        img[None], None, jnp.zeros((2, 1)), sf=TRIANGLE, scale=5,
+        weights=(1.0, 1.0), masked=(False, False), interpret=True)
+    c1 = smooth(img, TRIANGLE, scale=5)
+    c2 = smooth(c1, TRIANGLE, scale=6)
+    assert_ulp(cn[0], c2, ulps=8)
+    lp1 = jnp.sqrt(jnp.maximum(
+        smooth((img - c1) ** 2, TRIANGLE, scale=5), 1e-15))
+    ref1 = (img - c1) / lp1
+    assert float(jnp.abs(w1[0] - ref1).max()) < 5e-6
