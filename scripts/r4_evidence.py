@@ -45,12 +45,22 @@ def timeit_on(fn, v, iters=10):
 
 
 def rec(key, dt, frames=1.0, note=""):
-    RESULTS[key] = {"ms": round(dt * 1e3, 3),
-                    "fps": round(frames / dt, 2)}
-    if note:
-        RESULTS[key]["note"] = note
-    print(f"{key}: {dt * 1e3:.2f} ms = {frames / dt:.1f} fps  {note}",
-          flush=True)
+    if dt <= 0:
+        # faster than the measurable sync RTT through the tunnel
+        RESULTS[key] = {"ms": 0.0, "note": "sub-RTT (dispatch-bound); "
+                        + note if note else "sub-RTT (dispatch-bound)"}
+        print(f"{key}: < RTT (dispatch-bound)", flush=True)
+    else:
+        RESULTS[key] = {"ms": round(dt * 1e3, 3),
+                        "fps": round(frames / dt, 2)}
+        if note:
+            RESULTS[key]["note"] = note
+        print(f"{key}: {dt * 1e3:.2f} ms = {frames / dt:.1f} fps  {note}",
+              flush=True)
+    # crash-safe: persist after every row (compiles are long and the
+    # tunnel can wedge mid-run)
+    with open("EVIDENCE_r04.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
 
 
 def statics(n_scales, dcs, bilateral=None, has_noise=True, extent=4096,
@@ -107,8 +117,13 @@ def main():
 
     # ---- batched serving: 4x4k L6 stack ------------------------------
     stack4 = jnp.stack([big, big * 0.5, big + 1.0, big * 2.0])
-    rec("wow_stack_4x4k_L6_serving", timeit_on(jax.jit(
+    rec("wow_stack_4x4k_L6_serving_lazy_noise", timeit_on(jax.jit(
         lambda v: W.wow_stack(v, n_scales=6,
+                              denoise_coefficients=[5, 2],
+                              with_coefficients=False)[0]),
+        stack4, iters=5), frames=4.0)
+    rec("wow_stack_4x4k_L6_serving_known_noise", timeit_on(jax.jit(
+        lambda v: W.wow_stack(v, n_scales=6, noise=1.0,
                               denoise_coefficients=[5, 2],
                               with_coefficients=False)[0]),
         stack4, iters=5), frames=4.0)

@@ -117,3 +117,34 @@ def test_wow_from_coefficients_lazy_rows_no_assembly(rng):
     assert coeffs._rows is not None  # rows layout preserved
     recon, out = wow(coeffs, denoise_coefficients=[3.0])
     assert recon.shape == img.shape
+
+
+def test_bilateral_scales_beyond_sigma_table(rng):
+    """8k-bilateral regression: auto n_scales (11) exceeds the 10-entry
+    B3spline 2-D bilateral σ_e table (watroo/wavelets.py:274-276), which
+    the reference tolerates because significance's sigma==0 early-out
+    never touches sigma_e for un-denoised scales
+    (watroo/wavelets.py:136).  The deep-tail threshold computation must
+    be guarded the same way.  Trace-only (eval_shape) — the real 8k run
+    is scripts/r4_evidence.py."""
+    import jax
+
+    from wavelets_tpu.models.wow import normalize_wow_params, wow_core
+    from wavelets_tpu.ops.filters import B3SPLINE
+
+    n, w, d, sb = normalize_wow_params(
+        B3SPLINE, None, [], [5.0, 2.0], 1, 0.0, 2, 8192)
+    assert n == 11 and len(B3SPLINE.sigma_e(2, True)) == 10
+    st = dict(sf=B3SPLINE, n_scales=n, weights=w,
+              whitening=True, denoise_coefficients=d, bilateral=sb,
+              bilateral_scaling=False, soft_threshold=True,
+              preserve_variance=False, gamma=3.2, gamma_min=None,
+              gamma_max=None, h=0.0, has_noise=True)
+    x = jax.ShapeDtypeStruct((8192, 8192), jnp.float32)
+    one = jax.ShapeDtypeStruct((), jnp.float32)
+    # fuse="force" so the trace reaches the fused body + deep tail (the
+    # path that crashed) on the CPU backend too
+    out = jax.eval_shape(
+        lambda a, nz: wow_core(a, nz, planes_layout="rows",
+                               fuse="force", **st), x, one)
+    assert out[0].shape == (8192, 8192)

@@ -203,6 +203,16 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
 
     interp = jax.default_backend() == "cpu"
     noise_b = noise32[:, None, None] if batched else noise32
+
+    def thr_of(k):
+        # guarded: sigma_e may be shorter than n_scales (the reference's
+        # 10-entry bilateral table quirk, watroo/wavelets.py:274-276);
+        # the reference never touches sigma_e[k] for un-denoised scales
+        # (significance's sigma==0 early-out, watroo/wavelets.py:136)
+        if denoise_coefficients[k] == 0:
+            return jnp.zeros_like(noise32)
+        return (denoise_coefficients[k] * float(sigma_e[k])) * noise32
+
     rows = []
     s = tail_start
     while s < n_scales:
@@ -219,10 +229,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             # at shallow scales two single launches pipeline better
             # (1.24 vs 1.56 ms for s=4,5).  Parity is bitwise.
             carry_b = carry if batched else carry[None]
-            thr2 = jnp.stack([
-                (denoise_coefficients[s] * float(sigma_e[s])) * noise32,
-                (denoise_coefficients[s + 1] * float(sigma_e[s + 1]))
-                * noise32])
+            thr2 = jnp.stack([thr_of(s), thr_of(s + 1)])
             w1p, w2p, _, carry_b = pallas_deep.deep_whiten_step2(
                 carry_b, None, thr2, sf=sf, scale=s,
                 weights=(float(weights[s]), float(weights[s + 1])),
@@ -240,7 +247,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             continue
         if pallas_deep.can_deep(carry, sf, s, bilateral):
             carry_b = carry if batched else carry[None]
-            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            thr = thr_of(s)
             # both modes skip the in-kernel recon accumulation: XLA
             # fuses the per-scale whitened-plane adds into one pass
             # (fewer HBM moves than riding recon through every launch,
@@ -270,7 +277,7 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             # from the VMEM carry ring — replaces ~7.5 ms/scale of
             # XLA chain at 4k² with one streaming launch
             carry_b = carry if batched else carry[None]
-            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            thr = thr_of(s)
             vf = float(bilateral[s]) ** 2
             if bilateral_scaling:
                 vf *= (s + 1)
@@ -574,7 +581,9 @@ def _wow_body_fused(
                 and pallas_deep.can_deep_plane(
                     c if batched else c[None], sf, s)):
             cb = c if batched else c[None]
-            thr = (denoise_coefficients[s] * float(sigma_e[s])) * noise32
+            thr = ((denoise_coefficients[s] * float(sigma_e[s]))
+                   * noise32 if denoise_coefficients[s] != 0
+                   else jnp.zeros_like(noise32))
             white = pallas_deep.deep_whiten_plane(
                 cb, thr, sf=sf, scale=s, weight=float(weights[s]),
                 soft=soft_threshold,
