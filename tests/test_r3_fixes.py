@@ -148,3 +148,50 @@ def test_bilateral_scales_beyond_sigma_table(rng):
         lambda a, nz: wow_core(a, nz, planes_layout="rows",
                                fuse="force", **st), x, one)
     assert out[0].shape == (8192, 8192)
+
+
+def test_odd_shape_padded_deep_scale():
+    """Round-4 pad-to-feasible deep route: odd frames (W % 128 != 0)
+    fail the stream kernel's geometry for every deep scale; the deep
+    tail symmetric-pads the carry by the scale reach, runs the fused
+    step, and crops — bitwise by the _pad_split argument.  Pin the
+    forced fused dispatch against the pure-XLA path.
+
+    Runs in a subprocess: the in-process XLA CPU compile of this
+    program aborts (Fatal Python error inside backend_compile) when it
+    follows the full suite's accumulated compilation state — a
+    compiler-state flake, not a property of the program (it compiles
+    fine standalone, in every smaller suite subset, and on TPU
+    hardware, where the route is also timed in EVIDENCE_r04.json)."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from wavelets_tpu.models.wow import wow_core
+from wavelets_tpu.ops.filters import B3SPLINE
+rng = np.random.default_rng(12345)
+x = jnp.asarray(rng.normal(size=(774, 772)).astype(np.float32))
+st = dict(sf=B3SPLINE, n_scales=5, weights=(1.0,) * 6, whitening=True,
+          denoise_coefficients=(5.0, 2.0, 0.0, 0.0, 0.0, 1.0),
+          bilateral=None, bilateral_scaling=False, soft_threshold=True,
+          preserve_variance=False, gamma=3.2, gamma_min=None,
+          gamma_max=None, h=0.0, has_noise=True)
+one = jnp.ones((), jnp.float32)
+r_fast, _ = wow_core(x, one, fuse="force", **st)
+r_xla, _ = wow_core(x, one, fuse=False, **st)
+d = float(jnp.max(jnp.abs(r_fast - r_xla)))
+scale = float(jnp.max(jnp.abs(r_xla)))
+assert d < 5e-6 * max(scale, 1), d
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout

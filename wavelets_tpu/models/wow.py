@@ -292,6 +292,41 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             carry = carry_b if batched else carry_b[0]
             s += 1
             continue
+        if bilateral is None:
+            # pad-to-feasible route (odd shapes, round 4): the stream
+            # kernel needs W % 128 == 0 and H % 2^s == 0, which odd
+            # frames fail for every deep scale.  Symmetric-pad the
+            # carry by >= the scale's total reach (chain + power
+            # smooth, 2·hw·2^s), run the fused step, crop — bitwise
+            # by the _pad_split argument (reflection commutes with the
+            # folds; the reference pads the *current* smooth per scale,
+            # watroo/wavelets.py:77, which re-padding the cropped carry
+            # reproduces exactly).  Worth it while the padded area stays
+            # under ~1.8x (the XLA chain costs ~2.2 ms/scale at 4k vs
+            # ~0.7·area for the kernel + ~0.35·area for the pad copy).
+            plan = _padded_deep_plan(carry.shape, carry.dtype, sf, s)
+            if plan is not None:
+                Hp, Wp = plan
+                H, Wd = carry.shape[-2:]
+                pt = (Hp - H) // 2
+                pj = (Wp - Wd) // 2
+                pad_w = [(0, 0)] * (carry.ndim - 2) + [
+                    (pt, Hp - H - pt), (pj, Wp - Wd - pj)]
+                cp = jnp.pad(carry, pad_w, mode="symmetric")
+                cb = cp if batched else cp[None]
+                white, _, carry_b = pallas_deep.deep_whiten_step(
+                    cb, None, thr_of(s), sf=sf, scale=s,
+                    weight=float(weights[s]), soft=soft_threshold,
+                    masked=denoise_coefficients[s] != 0,
+                    write_plane=True, interpret=interp)
+                crop = lambda a: a[..., pt:pt + H, pj:pj + Wd]
+                w = crop(white if batched else white[0])
+                if write_planes:
+                    rows.append(w)
+                recon = w if recon is None else recon + w
+                carry = crop(carry_b if batched else carry_b[0])
+                s += 1
+                continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                               bilateral, bilateral_scaling)
         c = carry - c_next
@@ -404,14 +439,42 @@ def _wow_body_merged(
     return recon, stack_planes(out_rows)
 
 
+def _padded_deep_plan(shape, dtype, sf, s):
+    """Pad plan for running the deep stream step on a geometry-infeasible
+    (odd) carry: symmetric-pad by >= the scale's total reach to the
+    nearest feasible extents.  Returns ``(Hp, Wp)`` or None when
+    infeasible or the padded area exceeds 1.8x (where the XLA chain is
+    cheaper; cf. _deep_tail_scales)."""
+    from ..ops import pallas_deep
+
+    D = 1 << s
+    reach = 2 * sf.half_width * D
+    H, W = shape[-2:]
+    Hp = -(-(H + 2 * reach) // D) * D
+    Wp = -(-(W + 2 * reach) // 128) * 128
+    if Hp * Wp > 1.8 * H * W:
+        return None
+    probe = jax.ShapeDtypeStruct(
+        (shape[0] if len(shape) == 3 else 1, Hp, Wp), dtype)
+    if not pallas_deep.can_deep(probe, sf, s, None):
+        return None
+    return Hp, Wp
+
+
 def _deep_start(data, sf) -> int:
-    """First scale the deep-step kernel can own (static geometry): the
-    merged/whiten fast path covers scales below it."""
+    """First scale a deep-step kernel can own (static geometry),
+    directly or via the pad-to-feasible route: the merged/whiten fast
+    path covers scales below it.  Without the padded route, odd shapes
+    would push deep scales into heavily-padded whiten groups
+    (5120+-extent tiles at offset >= 6) that cost more than the padded
+    stream steps."""
     from ..ops import pallas_deep
 
     s = 0
-    while not pallas_deep.can_deep(
-            data if data.ndim == 3 else data[None], sf, s, None):
+    while not (pallas_deep.can_deep(
+            data if data.ndim == 3 else data[None], sf, s, None)
+            or _padded_deep_plan(data.shape, data.dtype, sf, s)
+            is not None):
         s += 1
         if s > 16:
             return 16

@@ -196,6 +196,20 @@ def _mesh_dims(mesh: Mesh):
             mesh.shape[COL_AXIS])
 
 
+#: jitted shard_map programs, keyed on (mesh, shapes, statics):
+#: sharded_wow builds a fresh shard_map closure per call, which would
+#: otherwise defeat jax.jit's cache and recompile every invocation —
+#: fatal for serving loops (a 4k stage-1 program compiles in ~12 s)
+_PROGRAM_CACHE = {}
+
+
+def _cached_jit(key, build):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _PROGRAM_CACHE[key] = jax.jit(build())
+    return fn
+
+
 def sharded_decompose(
     x: jax.Array,
     level: int,
@@ -420,16 +434,19 @@ def sharded_wow(
 
         # check_vma=False: pallas_call outputs carry no varying-mesh
         # annotation, which the default vma check rejects
-        fn = shard_map(
+        key = ("stack", mesh, data.shape, str(data.dtype),
+               with_coefficients, force,
+               tuple(sorted(statics.items(), key=lambda kv: kv[0])))
+        fn = _cached_jit(key, lambda: shard_map(
             local_stack, mesh=mesh,
             in_specs=(data_spec, noise_spec),
             out_specs=((data_spec, planes_spec) if with_coefficients
                        else data_spec),
-            check_vma=False)
+            check_vma=False))
         data = jax.device_put(data, NamedSharding(mesh, data_spec))
         noise_arr = jax.device_put(
             noise_arr, NamedSharding(mesh, noise_spec))
-        out = jax.jit(fn)(data, noise_arr)
+        out = fn(data, noise_arr)
         return out if with_coefficients else (out, None)
 
     # ---- stage 2: spatially tiled mesh, fast configuration — fused
@@ -450,14 +467,18 @@ def sharded_wow(
                 with_coefficients=with_coefficients, interpret=force)
             noise_spec = (P(DATA_AXIS)
                           if batched and noise_arr.ndim == 1 else P())
-            fn = shard_map(
+            key = ("tiled", mesh, data.shape, str(data.dtype),
+                   with_coefficients, force, tuple(groups), n_scales,
+                   rec_w, dcs, bool(soft_threshold), has_noise,
+                   noise_arr.ndim, sf)
+            fn = _cached_jit(key, lambda: shard_map(
                 local_tiled, mesh=mesh,
                 in_specs=(data_spec, noise_spec),
                 out_specs=((data_spec, planes_spec) if with_coefficients
                            else data_spec),
-                check_vma=False)
+                check_vma=False))
             data = jax.device_put(data, NamedSharding(mesh, data_spec))
-            out = jax.jit(fn)(data, noise_arr)
+            out = fn(data, noise_arr)
             return out if with_coefficients else (out, None)
 
     def local(x, noise_v):
@@ -478,13 +499,21 @@ def sharded_wow(
             out_planes = jnp.moveaxis(out_planes, 0, 1)
         return recon, out_planes
 
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(data_spec, P()),
-        out_specs=(data_spec, planes_spec),
-    )
+    key = ("xla", mesh, data.shape, str(data.dtype), with_coefficients,
+           n_scales, rec_w, dcs, sigma_bilateral,
+           bool(bilateral_scaling), bool(whitening),
+           bool(soft_threshold), bool(preserve_variance), float(gamma),
+           gamma_min, gamma_max, float(h), has_noise, sf)
+    fn = _cached_jit(
+        key, lambda: shard_map(
+            local, mesh=mesh,
+            in_specs=(data_spec, P()),
+            out_specs=(data_spec, planes_spec),
+        ) if with_coefficients else (lambda d, nz: shard_map(
+            local, mesh=mesh,
+            in_specs=(data_spec, P()),
+            out_specs=(data_spec, planes_spec))(d, nz)[0]))
     data = jax.device_put(data, NamedSharding(mesh, data_spec))
     if with_coefficients:
-        return jax.jit(fn)(data, noise_arr)
-    recon = jax.jit(lambda d, nz: fn(d, nz)[0])(data, noise_arr)
-    return recon, None
+        return fn(data, noise_arr)
+    return fn(data, noise_arr), None
