@@ -207,3 +207,67 @@ class TestStage2Tiled:
         got_r, _ = sharded_wow(img, mesh, denoise_coefficients=[5, 2])
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
                                    rtol=1e-11, atol=1e-12)
+
+
+class TestBandDeepTail:
+    """Round-5 sharded deep tail: scales past the whiten groups reshard
+    to full-width row bands (all_to_all over the col ring) and run the
+    halo-mode deep stream kernel — ppermute halos while the reach fits
+    the band, all_gather-built windows past it — instead of the XLA
+    halo chain (VERDICT r4 item 3)."""
+
+    def _ref_single(self, img, noise, n_scales, dcs):
+        statics = _statics(n_scales, (), dcs, noise is not None,
+                           min(img.shape))
+        noise_arr = (jnp.asarray(noise, img.dtype) if noise is not None
+                     else jnp.zeros((), img.dtype))
+        return wow_core(img, noise_arr, fuse="force",
+                        planes_layout="cube", **statics)
+
+    def test_band_plan_engages(self):
+        from wavelets_tpu.parallel.sharded import _deep_tail_band_plan
+        from wavelets_tpu.ops.filters import B3SPLINE as SF
+
+        # 512² on 2×2: Hb=128, W=512; tail s=4..6 all stream-feasible
+        assert _deep_tail_band_plan(256, 256, 2, jnp.float32, SF,
+                                    4, 7) == 128
+        # reach gate: scale 4 on a 64-row band is infeasible (hw·D<32
+        # fails at s=3 but 4 is fine; 8-row interior fails stream)
+        assert _deep_tail_band_plan(16, 256, 2, jnp.float32, SF,
+                                    4, 7) == 0
+
+    def test_band_tail_deep_vs_single(self, rng):
+        """2×2 mesh, L7 at 512²: tail scales 4 (R=64 < Hb: ppermute
+        halo), 5 (R=128 == Hb), 6 (R=256 > Hb: all_gather window) —
+        exercises the reshard, both extension paths, and the kernel."""
+        from wavelets_tpu.parallel.sharded import _deep_tail_band_plan
+
+        mesh = make_mesh(data=1, rows=2, cols=2,
+                         devices=jax.devices()[:4])
+        img = jnp.asarray(
+            rng.normal(size=(512, 512)).astype(np.float32))
+        assert _deep_tail_band_plan(256, 256, 2, img.dtype, B3SPLINE,
+                                    4, 7) > 0
+        ref_r, ref_p = self._ref_single(img, 1.0, 7, [5.0, 2.0])
+        got_r, got_p = sharded_wow(img, mesh, n_scales=7, noise=1.0,
+                                   denoise_coefficients=[5.0, 2.0])
+        assert got_p.shape == (8, 512, 512)
+        assert float(jnp.max(jnp.abs(got_r - ref_r))) < 5e-6
+        assert float(jnp.max(jnp.abs(got_p - ref_p))) < 5e-6
+
+    def test_band_tail_rows_mesh_batched(self, rng):
+        """rows-only mesh (no reshard) over a stack with per-frame
+        statistics and a deep tail."""
+        mesh = make_mesh(data=2, rows=2, cols=1,
+                         devices=jax.devices()[:4])
+        stack = jnp.asarray(
+            (rng.normal(size=(2, 512, 512)) *
+             np.array([1, 3])[:, None, None]).astype(np.float32))
+        refs = [self._ref_single(stack[i], None, 6, [5.0, 2.0])[0]
+                for i in range(2)]
+        got_r, got_p = sharded_wow(stack, mesh, n_scales=6,
+                                   denoise_coefficients=[5.0, 2.0])
+        assert got_p.shape == (2, 7, 512, 512)
+        for i in range(2):
+            d = float(jnp.max(jnp.abs(got_r[i] - refs[i])))
+            assert d < 5e-6, (i, d)

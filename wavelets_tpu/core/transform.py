@@ -181,6 +181,14 @@ def decompose(
             if use_pallas is None:
                 use_pallas = pallas_conv.can_fuse(
                     x, level, sf, bilateral, axes, boundary)
+                if not use_pallas and pallas_conv.can_fuse_volume(
+                        x, level, sf, axes, boundary):
+                    # genuine 3-D volume: axial XLA pass + batched
+                    # in-plane fused kernel per scale (pallas_conv.
+                    # fused_volume_decompose; watroo/wavelets.py:47-64)
+                    return pallas_conv.fused_volume_decompose(
+                        x, level, sf,
+                        interpret=jax.default_backend() == "cpu")
             if use_pallas:
                 def xla_tail(residual, n, offset):
                     return decompose(
@@ -297,10 +305,17 @@ def decompose_pieces(
                 return tuple(pieces), layout, tail
             return tuple(pieces), layout
 
-    planes = decompose(
-        x, level, sf, axes=axes, bilateral=bilateral,
-        bilateral_scaling=bilateral_scaling, boundary=boundary,
-        use_pallas=False)
+    from ..ops import pallas_conv as _pc
+
+    if (bilateral is None and use_pallas is None
+            and _pc.can_fuse_volume(x, level, sf, axes, boundary)):
+        planes = _pc.fused_volume_decompose(
+            x, level, sf, interpret=jax.default_backend() == "cpu")
+    else:
+        planes = decompose(
+            x, level, sf, axes=axes, bilateral=bilateral,
+            bilateral_scaling=bilateral_scaling, boundary=boundary,
+            use_pallas=False)
     layout = tuple((0, s) for s in range(level + 1))
     if defer_tail:
         return (planes,), layout, None

@@ -8,11 +8,16 @@ although unexported by the reference's ``__all__`` (watroo/utils.py:7).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..api import AtrousTransform
+from ..api import AtrousTransform, _as_device_array, _spec_of
+from ..core.transform import decompose, normalize_bilateral
 from ..ops.layout import stack_planes
+from ..ops.stats import mad_noise_frames, significance
 
 __all__ = ["enhance", "prepare_params"]
 
@@ -34,6 +39,58 @@ def prepare_params(param, ndims):
     if len(param) != ndims:
         raise ValueError("Invalid number of parameters")
     return [prepare_params(p, 2) for p in param]
+
+
+@partial(jax.jit, static_argnames=("spec", "level", "wgts", "dnss",
+                                   "soft", "bilateral",
+                                   "bilateral_scaling", "lazy_mask"))
+def _enhance_channels_core(img, noise_arr, *, spec, level, wgts, dnss,
+                          soft, bilateral, bilateral_scaling, lazy_mask):
+    """All channels of a 3-D ``enhance`` in ONE compiled program.
+
+    The per-channel loop of the reference (watroo/utils.py:47-60)
+    compiled three separate programs here (round-4 verdict item); the
+    channels instead ride the batched decomposition (``axes=(1, 2)`` —
+    the Pallas stack kernels where the gates admit) and the per-channel
+    scalars (weights, denoise sigmas, supplied noise) fold into
+    broadcast ``(C, 1, 1)`` factor tables.  Per-element arithmetic is
+    identical to the sequential path: ``sigma == 0`` channels reduce to
+    ``c * w`` because the runtime ``t == 0`` guard in
+    :func:`~wavelets_tpu.ops.stats.significance` yields an exact ones
+    mask (``w * 1.0 == w`` bitwise).
+
+    ``lazy_mask[c]`` marks channels whose noise comes from the per-frame
+    MAD estimator (watroo/utils.py:71-74); the rest read
+    ``noise_arr[c]``."""
+    C = img.shape[0]
+    bil = normalize_bilateral(bilateral, level)
+    planes = decompose(img, level, spec, axes=(1, 2), bilateral=bil,
+                       bilateral_scaling=bilateral_scaling)
+    sigma_e = spec.sigma_e(2, bilateral is not None)
+    noise_c = noise_arr
+    if any(lazy_mask):
+        mad = mad_noise_frames(planes[0], float(sigma_e[0])) if any(
+            any(d != 0 for d in dns) for dns in dnss
+        ) else jnp.zeros((C,), planes.dtype)
+        noise_c = jnp.where(jnp.asarray(lazy_mask), mad, noise_arr)
+    noise_b = noise_c[:, None, None].astype(planes.dtype)
+
+    # synthesis in ascending plane order (residual last), matching the
+    # reference's np.sum(coeffs, axis=0) fold order bitwise
+    out = None
+    for s in range(level):
+        c = planes[s]
+        wgt = jnp.asarray([w[s] for w in wgts], c.dtype)[:, None, None]
+        sig = [d[s] for d in dnss]
+        if any(v != 0 for v in sig):
+            sig_b = jnp.asarray(sig, c.dtype)[:, None, None]
+            mask = significance(c, sig_b, noise_b, float(sigma_e[s]),
+                                soft)
+            c = c * (wgt * mask)
+        else:
+            c = c * wgt
+        out = c if out is None else out + c
+    return planes[level] if out is None else out + planes[level]
 
 
 def enhance(*args, weights=None, denoise=None, soft_threshold=True, out=None,
@@ -63,10 +120,44 @@ def enhance(*args, weights=None, denoise=None, soft_threshold=True, out=None,
         return jnp.sum(coeffs.data, axis=0)
 
     if img.ndim == 3:
-        result = stack_planes([
-            one_channel(img[c], weights[c], denoise[c],
-                        None if noise is None else noise[c])
-            for c in range(3)])
+        # pad each channel's (wgt, dns) pair to its own common length
+        # (the reference's per-channel padding, watroo/utils.py:65-68)
+        padded = []
+        for c in range(3):
+            wgt = list(weights[c]) + [1] * (len(denoise[c])
+                                            - len(weights[c]))
+            dns = list(denoise[c]) + [0] * (len(wgt) - len(denoise[c]))
+            padded.append((wgt, dns))
+        lengths = {len(w) for w, _ in padded}
+        if lengths == {0}:
+            # no weights/denoise anywhere: zero-scale transforms are
+            # identity sums — the image passes through per channel
+            result = jnp.asarray(_as_device_array(img))
+        elif len(lengths) == 1:
+            # uniform scale count: all channels in one compiled program
+            level = lengths.pop()
+            imgd = _as_device_array(img)
+            spec = _spec_of(atrous.scaling_function_class)
+            lazy = tuple(noise is None or noise[c] is None
+                         for c in range(3))
+            noise_arr = jnp.asarray(
+                [0.0 if lazy[c] else float(noise[c]) for c in range(3)],
+                imgd.dtype)
+            result = _enhance_channels_core(
+                imgd, noise_arr, spec=spec, level=level,
+                wgts=tuple(tuple(float(v) for v in w)
+                           for w, _ in padded),
+                dnss=tuple(tuple(float(v) for v in d)
+                           for _, d in padded),
+                soft=bool(soft_threshold),
+                bilateral=atrous.bilateral,
+                bilateral_scaling=bool(atrous.bilateral_scaling),
+                lazy_mask=lazy)
+        else:
+            result = stack_planes([
+                one_channel(img[c], weights[c], denoise[c],
+                            None if noise is None else noise[c])
+                for c in range(3)])
     else:
         result = one_channel(img, weights, denoise, noise)
 

@@ -53,7 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .filters import ScalingFunction
 from .layout import stack_planes
 
-__all__ = ["fused_decompose", "can_fuse", "plan_groups", "MAX_FUSED_LEVELS"]
+__all__ = ["fused_decompose", "can_fuse", "plan_groups",
+           "can_fuse_volume", "fused_volume_decompose",
+           "MAX_FUSED_LEVELS"]
 
 #: largest scale group kept fully VMEM-resident (R = hw·(2^L−1) halo)
 MAX_FUSED_LEVELS = 6
@@ -151,7 +153,7 @@ def _aligned_halos(R: int) -> Tuple[int, int]:
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                  R: int, offset: int = 0, whiten=None,
-                 reuse: bool = False):
+                 reuse: bool = False, smooth_only: bool = False):
     """Decompose kernel, optionally with the WOW whitening stage fused
     per scale (``whiten = (soft, masked_tuple, planes)``): instead of
     the raw detail plane, each output row is the *whitened* detail
@@ -318,10 +320,12 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             _conv_pass_ref(cur, tmp, taps, d, 0)
             _conv_pass_ref(tmp, sm, taps, d, 1)
             if whiten is None:
-                # detail plane straight into the revolving output window
-                # (Mosaic overlaps the copy-out with the next step)
-                out_ref[s, 0] = (cur[Rr:Rr + TH, Rc:Rc + TW]
-                                 - sm[Rr:Rr + TH, Rc:Rc + TW])
+                if not smooth_only:
+                    # detail plane straight into the revolving output
+                    # window (Mosaic overlaps the copy-out with the
+                    # next step)
+                    out_ref[s, 0] = (cur[Rr:Rr + TH, Rc:Rc + TW]
+                                     - sm[Rr:Rr + TH, Rc:Rc + TW])
             else:
                 # fused whiten: detail (with margin for the power conv —
                 # its window-edge reflection is inherited from cur's
@@ -351,7 +355,8 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
         carry_out = (outs[level if planes else 0]
                      if whiten is not None else None)
         if whiten is None:
-            out_ref[level, 0] = cur[Rr:Rr + TH, Rc:Rc + TW]
+            out_ref[0 if smooth_only else level, 0] = \
+                cur[Rr:Rr + TH, Rc:Rc + TW]
         else:
             carry_out[0] = cur[Rr:Rr + TH, Rc:Rc + TW]
             acc_ref[0] = acc.astype(acc_ref.dtype)
@@ -504,13 +509,19 @@ def _group_halo(hw: int, offset: int, g: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("level", "sf", "offset", "interpret"))
+    jax.jit, static_argnames=("level", "sf", "offset", "interpret",
+                              "smooth_only"))
 def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
-                 offset: int = 0, interpret: bool = False) -> jax.Array:
+                 offset: int = 0, interpret: bool = False,
+                 smooth_only: bool = False) -> jax.Array:
     """Fused decomposition of ``level`` scales at dilation base
     ``2^offset``.  ``x`` is ``(H, W)`` or a frame stack ``(B, H, W)``;
     returns ``(level+1, *x.shape)``: detail planes for scales
-    offset..offset+level−1 plus the residual."""
+    offset..offset+level−1 plus the residual.  ``smooth_only=True``
+    emits just the final smooth carry ``(1, *x.shape)`` — the 3-D
+    volume fast path's in-plane pass, where the 3-D detail is formed
+    only after the axial pass (watroo/wavelets.py:47-64) and writing
+    the 2-D details would be a wasted image move per scale."""
     batched = x.ndim == 3
     xb = x if batched else x[None]
     B, H, W = xb.shape
@@ -525,9 +536,10 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
                       (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
     reuse = Wp // TW > 1
     kernel = _make_kernel(level, sf.taps, TH, TW, R, offset,
-                          reuse=reuse)
+                          reuse=reuse, smooth_only=smooth_only)
     grid = (B, Hp // TH, Wp // TW)
     dt = x.dtype
+    n_rows = 1 if smooth_only else level + 1
     scratch = [
         pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
         pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
@@ -541,10 +553,10 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((level + 1, B, Hp, Wp), dt),
+        out_shape=jax.ShapeDtypeStruct((n_rows, B, Hp, Wp), dt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (level + 1, 1, TH, TW),
+            (n_rows, 1, TH, TW),
             lambda b, i, j: (0, b, i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -639,6 +651,66 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     if batched:
         return tuple(rows), acc
     return tuple(r[0] for r in rows), acc[0]
+
+
+def can_fuse_volume(x, level: int, sf: ScalingFunction, axes,
+                    boundary: str, backend: Optional[str] = None) -> bool:
+    """Whether the 3-D volume fast path applies: a genuine (D, H, W)
+    volume transform (axes covering all three — NOT a frame stack),
+    f32, symmetric boundary, every scale's in-plane pass feasible as a
+    single-scale fused group.  The reference's 3-D convolution is
+    separable per-plane 2-D + axial 1-D (watroo/wavelets.py:47-64)."""
+    if x.ndim != 3 or x.dtype != jnp.float32 or level < 1:
+        return False
+    if boundary != "symmetric":
+        return False
+    if axes is not None and tuple(a % 3 for a in axes) != (0, 1, 2):
+        return False
+    if backend is None:
+        backend = jax.default_backend()
+    if backend in ("cpu",):
+        return False
+    H, W = x.shape[-2:]
+    for s in range(level):
+        R = _group_halo(sf.half_width, s, 1)
+        if _plan_tiles(H, W, 1, R, 4) is None:
+            return False
+    return True
+
+
+def fused_volume_decompose(
+    x: jax.Array,
+    level: int,
+    sf: ScalingFunction,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """3-D à trous decomposition of a volume ``(D, H, W)`` with the
+    in-plane passes on the fused kernels.
+
+    Per scale (same axis order as ``ops.conv.smooth``: axial, rows,
+    cols — the fold arithmetic per axis is identical to
+    ``separable_smooth_axis``, so the result matches the XLA volume
+    path bitwise on hardware): the axial 1-D dilated pass runs in XLA
+    (a leading-axis fold — cheap, and no VMEM window can hold a depth
+    halo anyway), the (H, W) pass runs the batched single-scale fused
+    kernel in ``smooth_only`` mode (depth rides the batch grid axis; 2
+    image moves instead of XLA's ~7 per scale), and the 3-D detail
+    difference + synthesis fuse in XLA.  Replaces the all-XLA volume
+    route (28 ms for 64×1024², 3 scales, v5e — round-4 verdict item 6).
+    Reference: separable 3-D convolution, watroo/wavelets.py:47-64."""
+    from .conv import separable_smooth_axis
+
+    planes = []
+    cur = x
+    for s in range(level):
+        axial = separable_smooth_axis(cur, sf.taps, s, 0, "symmetric")
+        c_next = _fused_group(axial, 1, sf, offset=s,
+                              interpret=interpret, smooth_only=True)[0]
+        planes.append(cur - c_next)
+        cur = c_next
+    planes.append(cur)
+    return stack_planes(planes)
 
 
 def plan_wow_groups(H: int, W: int, level: int, hw: int,

@@ -66,8 +66,8 @@ from .filters import ScalingFunction
 from .pallas_conv import _exact_dot, _exact_dot_left, _flip_mats
 from .pallas_wow import _erf_pos
 
-__all__ = ["deep_whiten_step", "can_deep", "deep_block_rows",
-           "deep_whiten_step2", "can_deep2",
+__all__ = ["deep_whiten_step", "can_deep", "can_deep_halo",
+           "deep_block_rows", "deep_whiten_step2", "can_deep2",
            "deep_bilateral_whiten_step", "can_deep_bilateral",
            "deep_whiten_plane", "can_deep_plane"]
 
@@ -98,13 +98,16 @@ def deep_block_rows(H: int, W: int, D: int) -> int:
 def can_deep(carry: jax.Array, sf: ScalingFunction, scale: int,
              bilateral) -> bool:
     """Whether the fused deep-whiten step applies to this scale: plain
-    (non-bilateral) chain, f32, 2-D or frame-batched, lane-tileable
-    width, single-reflection geometry, and a feasible kernel — the v3
-    stream (``hw·2^s ≥ 32``: narrower mirrors hang the Mosaic roll
-    lowering, measured; s ≥ 4 for B3spline at any tileable H) or the
-    BlockSpec nine-window fallback (``hw·2^s`` a whole number of lane
-    chunks)."""
-    if bilateral is not None or carry.dtype != jnp.float32:
+    (non-bilateral) chain, f32 or bf16 (bf16 rides the v3 stream only:
+    the DMA ring lands bf16 blocks — half the HBM traffic of the f32
+    chain on a bandwidth-bound tail — and the folds run in f32), 2-D or
+    frame-batched, lane-tileable width, single-reflection geometry, and
+    a feasible kernel — the v3 stream (``hw·2^s ≥ 32``: narrower
+    mirrors hang the Mosaic roll lowering, measured; s ≥ 4 for B3spline
+    at any tileable H) or the BlockSpec nine-window fallback
+    (``hw·2^s`` a whole number of lane chunks)."""
+    if bilateral is not None or carry.dtype not in (jnp.float32,
+                                                   jnp.bfloat16):
         return False
     if carry.ndim not in (2, 3):
         return False
@@ -116,10 +119,30 @@ def can_deep(carry: jax.Array, sf: ScalingFunction, scale: int,
         return False
     if 2 * hw * D > H:  # block reflection must stay single-bounce
         return False
+    isz = jnp.dtype(carry.dtype).itemsize
     if (Rc >= 32 and H % D == 0 and (H // D) >= 2 * hw
-            and _stream_rows(H, W, D) > 0):
+            and _stream_rows(H, W, D, isz) > 0):
         return True
+    if carry.dtype != jnp.float32:
+        return False  # the BlockSpec fallback kernel is f32-only
     return Rc % 128 == 0 and deep_block_rows(H, W, D) > 0
+
+
+def can_deep_halo(H_interior: int, W: int, dtype, sf: ScalingFunction,
+                  scale: int) -> bool:
+    """Whether the halo-mode stream step applies to a pre-extended local
+    row band with ``H_interior`` output rows (sharded deep tail): v3
+    stream geometry on the interior extent, no reflection gates."""
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    D = 1 << scale
+    hw = sf.half_width
+    if W % 128 or hw * D < 32:
+        return False
+    if H_interior % D or H_interior < D:
+        return False
+    return _stream_rows(H_interior, W, D,
+                        jnp.dtype(dtype).itemsize) > 0
 
 
 def _deep_compute(blocks, ext, thr_b, taps, D: int, W: int,
@@ -245,7 +268,14 @@ def _rev_lanes(v, n: int):
 
 
 def _rev_sublanes(v, n: int):
-    """Exact sublane (first-axis) reversal via the same XOR butterfly."""
+    """Exact sublane (first-axis) reversal via the same XOR butterfly.
+
+    Mosaic's ``tpu.dynamic_rotate`` only lowers 32-bit lanes, so
+    non-f32 inputs (the bf16 carry ring) round-trip through f32 — a
+    lossless widening, pure VPU converts."""
+    dt = v.dtype
+    if dt != jnp.float32:
+        v = v.astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
     s = n // 2
     while s >= 1:
@@ -253,7 +283,7 @@ def _rev_sublanes(v, n: int):
         bwd = pltpu.roll(v, s, 0)
         v = jnp.where((row & s) == 0, fwd, bwd)
         s //= 2
-    return v
+    return v.astype(dt)
 
 
 #: the stream's true footprint is ~30 T·W f32 buffers; T=32 at W=4096
@@ -263,22 +293,25 @@ def _rev_sublanes(v, n: int):
 _STREAM_BUDGET = 16 << 20
 
 
-def _stream_rows(H: int, W: int, D: int) -> int:
+def _stream_rows(H: int, W: int, D: int, itemsize: int = 4) -> int:
     """v3 block height: divides the dilation and the image height, with
     a VMEM fit for the stream footprint (carry ring 4hw+2 blocks +
     cnext ring 2hw+1 + ext + revolving outputs + elementwise temps ≈ 30
-    T·W f32 buffers).  0 = infeasible."""
+    T·W f32 buffers; bf16 halves the ring/output share — ~21 f32-
+    equivalent buffers).  0 = infeasible."""
+    per_elem = 30 * 4 if itemsize == 4 else 21 * 4
     for T in (32, 16, 8):
         if D % T or H % T:
             continue
-        if 30 * T * W * 4 <= _STREAM_BUDGET:
+        if per_elem * T * W <= _STREAM_BUDGET:
             return T
     return 0
 
 
 def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
                         weight: float, soft: bool, masked: bool,
-                        write_plane: bool, accum: bool = True):
+                        write_plane: bool, accum: bool = True,
+                        dt=jnp.float32, halo_blocks: int = 0):
     """v3 (stream): one residue class per grid slice, processed as a
     single sequential stream whose symmetric extension is materialized
     at fetch time.
@@ -300,13 +333,29 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
       bitwise — the extension needs no special-case arithmetic.
 
     Tap fold order, clamps, and masking are identical to
-    :func:`_deep_compute` (bitwise vs the XLA deferred-tail step)."""
+    :func:`_deep_compute` (bitwise vs the XLA deferred-tail step for
+    f32).  ``dt`` is the storage dtype: bf16 carries land bf16 blocks
+    in the DMA ring (half the HBM traffic — the tail is bandwidth-
+    bound) and every fold runs in f32 with the chain carry, the white
+    plane, and the recon accumulator rounding back to ``dt`` on store
+    (the dtype-preserving contract, watroo/wavelets.py:297).
+
+    ``halo_blocks > 0`` is **halo mode** (the sharded engine's deep
+    tail): the carry arrives pre-extended by ``halo_blocks·T`` rows per
+    side — neighbor-shard data (or materialized global reflection on
+    the edge shards) supplied by the caller — so stream positions
+    outside ``[0, M)`` read real rows at offset ``halo_blocks`` and the
+    in-kernel row reflection is disabled.  Out-of-range prologue
+    prefetches clamp to the array (their values are never consumed).
+    Column reflection is unchanged (full-width rows)."""
     hw = (len(taps) - 1) // 2
     Rc = hw * D
     DT = D // T
     NC = 4 * hw + 2          # carry ring slots
     NN = 2 * hw + 1          # computed-smooth ring slots
     LAST = M + 2 * hw - 1    # last stream position fetched
+    f32 = dt == jnp.float32
+    NBLK = M * DT + 2 * halo_blocks  # carry blocks incl. the halo
 
     def kernel(*refs):
         thr_ref = refs[0]
@@ -338,10 +387,15 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
         def pos_dma(p):
             # absolute row block of stream position p: own blocks for
             # 0 <= p < M, single-bounce reflected otherwise (flip
-            # applied after landing)
+            # applied after landing).  Halo mode: positions index the
+            # pre-extended carry at offset halo_blocks; out-of-range
+            # prefetches clamp (never consumed).
             a = c + jnp.asarray(p, jnp.int32) * DT
-            a = jnp.where(a < 0, -a - 1, a)
-            a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
+            if halo_blocks:
+                a = jnp.clip(a + halo_blocks, 0, NBLK - 1)
+            else:
+                a = jnp.where(a < 0, -a - 1, a)
+                a = jnp.where(a >= M * DT, 2 * M * DT - 1 - a, a)
             sl = slot(p)
             r0 = pl.multiple_of(a * T, 8)
             return pltpu.make_async_copy(
@@ -349,6 +403,9 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
                 ring.at[sl], sems.at[sl])
 
         def flip_ext(p, is_ext):
+            if halo_blocks:
+                return  # pre-materialized extension, nothing reflected
+
             def do():
                 sl = slot(p)
                 ring[sl] = _rev_sublanes(ring[sl], T)
@@ -360,7 +417,9 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
                 pl.when(is_ext)(do)
 
         def vblk(p):
-            return ring[slot(p)]
+            # f32 view of a carry ring block (bf16 blocks fold in f32)
+            v = ring[slot(p)]
+            return v if f32 else v.astype(jnp.float32)
 
         E0 = max(Rc, 128)
 
@@ -439,10 +498,11 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
         white = wc * (weight / lp)
 
         if accum:
-            recon_out[0] = recon_ref[0] + white
-        cnext_ref[0] = cnr[cslot(t)]
+            recon_out[0] = (recon_ref[0].astype(jnp.float32)
+                            + white).astype(dt)
+        cnext_ref[0] = cnr[cslot(t)].astype(dt)
         if write_plane:
-            plane_ref[0] = white
+            plane_ref[0] = white.astype(dt)
 
     return kernel
 
@@ -450,7 +510,7 @@ def _make_stream_kernel(taps, T: int, W: int, D: int, M: int,
 @functools.partial(
     jax.jit,
     static_argnames=("sf", "scale", "weight", "soft", "masked",
-                     "write_plane", "interpret"))
+                     "write_plane", "interpret", "halo"))
 def deep_whiten_step(
     carry: jax.Array,
     recon: jax.Array,
@@ -463,6 +523,7 @@ def deep_whiten_step(
     masked: bool = False,
     write_plane: bool = True,
     interpret: bool = False,
+    halo: int = 0,
 ):
     """One deferred-tail WOW scale, fused: returns ``(white, recon',
     c_next)`` where ``c_next`` is the next scale's carry and ``recon' =
@@ -480,16 +541,28 @@ def deep_whiten_step(
     per-frame significance threshold (used only when ``masked``).
     Numerically equivalent to the XLA step in models/wow.py
     ``_wow_body_fused`` (erf approximation aside when masked+soft).
+
+    ``halo > 0`` (sharded deep tail, parallel/sharded.py): the carry is
+    a local row band pre-extended by ``halo == 2·hw·2^scale`` rows per
+    side (neighbor halos / materialized global reflection); outputs
+    cover only the ``H − 2·halo`` interior rows and the in-kernel row
+    reflection is off.  Requires the v3 stream geometry on the interior
+    extent.
     """
     accum = recon is not None
     assert accum or write_plane
     B, H, W = carry.shape
+    if halo:
+        assert halo == 2 * sf.half_width * (1 << scale), \
+            "halo mode requires halo == 2*hw*2^scale"
+        H = H - 2 * halo  # interior (output) rows
     D = 1 << scale
     hw = sf.half_width
     Rc = hw * D
+    dt = carry.dtype
 
-    T2 = _stream_rows(H, W, D)
-    if T2 and Rc >= 32 and H % D == 0 and (H // D) >= 2 * hw:
+    T2 = _stream_rows(H, W, D, jnp.dtype(dt).itemsize)
+    if T2 and Rc >= 32 and H % D == 0 and (halo or (H // D) >= 2 * hw):
         M = H // D
         DT = D // T2
         grid = (B, DT, M)
@@ -501,23 +574,22 @@ def deep_whiten_step(
                     pl.BlockSpec(memory_space=pl.ANY)]
         operands = [jnp.broadcast_to(
             threshold.astype(jnp.float32).reshape(-1), (B,)), carry]
-        out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+        out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
         out_specs = [pl.BlockSpec((1, T2, W), omap)]
         if accum:
             in_specs.append(pl.BlockSpec((1, T2, W), omap))
             operands.append(recon)
-            out_shapes.append(jax.ShapeDtypeStruct((B, H, W),
-                                                   jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, W), dt))
             out_specs.append(pl.BlockSpec((1, T2, W), omap))
         if write_plane:
-            out_shapes.append(
-                jax.ShapeDtypeStruct((B, H, W), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, W), dt))
             out_specs.append(pl.BlockSpec((1, T2, W), omap))
 
         NC = 4 * hw + 2
         NN = 2 * hw + 1
         kernel = _make_stream_kernel(sf.taps, T2, W, D, M, float(weight),
-                                     soft, masked, write_plane, accum)
+                                     soft, masked, write_plane, accum,
+                                     dt=dt, halo_blocks=halo // T2)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -525,7 +597,7 @@ def deep_whiten_step(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[
-                pltpu.VMEM((NC, T2, W), jnp.float32),
+                pltpu.VMEM((NC, T2, W), dt),
                 pltpu.VMEM((NN, T2, W), jnp.float32),
                 pltpu.VMEM((T2, W + 2 * max(Rc, 128)), jnp.float32),
                 pltpu.SemaphoreType.DMA((NC,)),
@@ -534,6 +606,10 @@ def deep_whiten_step(
             interpret=interpret,
         )(*operands)
     else:
+        if halo:
+            raise ValueError("deep_whiten_step: halo mode requires the "
+                             "v3 stream geometry (gate with "
+                             "can_deep_halo before dispatch)")
         T = deep_block_rows(H, W, D)
         if T == 0 or Rc % 128:
             raise ValueError("deep_whiten_step: no feasible block (use "
@@ -596,13 +672,15 @@ _STREAM2_BUFS = 53
 _STREAM2_BUDGET = 16 << 20
 
 
-def _stream2_rows(H: int, W: int, D: int) -> int:
+def _stream2_rows(H: int, W: int, D: int, itemsize: int = 4) -> int:
     """Pair-stream block height: divides the *base* dilation and the
-    image height, VMEM fit for the doubled ring footprint."""
+    image height, VMEM fit for the doubled ring footprint (bf16 rings
+    and outputs shave ~30% off the f32 footprint)."""
+    per_elem = _STREAM2_BUFS * 4 if itemsize == 4 else 38 * 4
     for T in (32, 16, 8):
         if D % T or H % T:
             continue
-        if _STREAM2_BUFS * T * W * 4 <= _STREAM2_BUDGET:
+        if per_elem * T * W <= _STREAM2_BUDGET:
             return T
     return 0
 
@@ -610,12 +688,13 @@ def _stream2_rows(H: int, W: int, D: int) -> int:
 def can_deep2(carry: jax.Array, sf: ScalingFunction, scale: int,
               bilateral) -> bool:
     """Whether the fused two-scale deep step applies to scales
-    ``(scale, scale+1)``: plain f32 chain, the base scale feasible for
-    the v3 stream (``hw·2^s ≥ 32``), single-bounce row reflection for
-    the pair's ±5hw stream positions (``M = H/D ≥ 5hw+1``) and
+    ``(scale, scale+1)``: plain f32/bf16 chain, the base scale feasible
+    for the v3 stream (``hw·2^s ≥ 32``), single-bounce row reflection
+    for the pair's ±5hw stream positions (``M = H/D ≥ 5hw+1``) and
     single-bounce column reflection for the second scale's mirror
     (``W ≥ 2hw·2^(s+1)``)."""
-    if bilateral is not None or carry.dtype != jnp.float32:
+    if bilateral is not None or carry.dtype not in (jnp.float32,
+                                                   jnp.bfloat16):
         return False
     if carry.ndim not in (2, 3):
         return False
@@ -628,12 +707,12 @@ def can_deep2(carry: jax.Array, sf: ScalingFunction, scale: int,
         return False
     if W < 4 * hw * D:  # scale-2 column mirror, single bounce
         return False
-    return _stream2_rows(H, W, D) > 0
+    return _stream2_rows(H, W, D, jnp.dtype(carry.dtype).itemsize) > 0
 
 
 def _make_stream2_kernel(taps, T: int, W: int, D: int, M: int,
                          weights, soft: bool, masked, write_plane: bool,
-                         accum: bool = False):
+                         accum: bool = False, dt=jnp.float32):
     """Two consecutive deep scales fused into one stream launch.
 
     All row offsets of scale ``s`` (±j·D) *and* scale ``s+1`` (±j·2D)
@@ -668,6 +747,7 @@ def _make_stream2_kernel(taps, T: int, W: int, D: int, M: int,
     E0 = max(Rc2, 128)
     w1, w2 = weights
     m1, m2 = masked
+    f32 = dt == jnp.float32
 
     def kernel(*refs):
         thr_ref = refs[0]
@@ -724,7 +804,8 @@ def _make_stream2_kernel(taps, T: int, W: int, D: int, M: int,
                 pl.when(is_ext)(do)
 
         def vblk(p):
-            return ring[slot(p)]
+            v = ring[slot(p)]
+            return v if f32 else v.astype(jnp.float32)
 
         def wpass(val, dil):
             # dilated column pass with in-kernel symmetric mirror; the
@@ -830,12 +911,13 @@ def _make_stream2_kernel(taps, T: int, W: int, D: int, M: int,
             wc = wc * jnp.where(thr_b == 0, jnp.float32(1.0), mask)
         white2 = wc * (w2 / lp)
 
-        cnext_ref[0] = cn2[s2(t)]
+        cnext_ref[0] = cn2[s2(t)].astype(dt)
         if accum:
-            recon_out[0] = recon_ref[0] + (white1 + white2)
+            recon_out[0] = (recon_ref[0].astype(jnp.float32)
+                            + (white1 + white2)).astype(dt)
         if write_plane:
-            plane1_ref[0] = white1
-            plane2_ref[0] = white2
+            plane1_ref[0] = white1.astype(dt)
+            plane2_ref[0] = white2.astype(dt)
 
     return kernel
 
@@ -873,7 +955,8 @@ def deep_whiten_step2(
     B, H, W = carry.shape
     D = 1 << scale
     hw = sf.half_width
-    T = _stream2_rows(H, W, D)
+    dt = carry.dtype
+    T = _stream2_rows(H, W, D, jnp.dtype(dt).itemsize)
     if T == 0:
         raise ValueError("deep_whiten_step2: infeasible geometry (use "
                          "can_deep2 before dispatch)")
@@ -891,13 +974,13 @@ def deep_whiten_step2(
     if accum:
         in_specs.append(pl.BlockSpec((1, T, W), omap))
         operands.append(recon)
-    out_shapes = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, W), dt)]
     out_specs = [pl.BlockSpec((1, T, W), omap)]
     if accum:
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, W), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, W), dt))
         out_specs.append(pl.BlockSpec((1, T, W), omap))
     if write_plane:
-        out_shapes += [jax.ShapeDtypeStruct((B, H, W), jnp.float32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((B, H, W), dt)] * 2
         out_specs += [pl.BlockSpec((1, T, W), omap)] * 2
 
     NC = 6 * hw + 2
@@ -908,7 +991,7 @@ def deep_whiten_step2(
     kernel = _make_stream2_kernel(
         sf.taps, T, W, D, M,
         (float(weights[0]), float(weights[1])), soft,
-        (bool(masked[0]), bool(masked[1])), write_plane, accum)
+        (bool(masked[0]), bool(masked[1])), write_plane, accum, dt=dt)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -916,7 +999,7 @@ def deep_whiten_step2(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((NC, T, W), jnp.float32),
+            pltpu.VMEM((NC, T, W), dt),
             pltpu.VMEM((N1, T, W), jnp.float32),
             pltpu.VMEM((N2, T, W), jnp.float32),
             pltpu.VMEM((T, W + 2 * E0), jnp.float32),

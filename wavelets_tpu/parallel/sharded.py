@@ -199,14 +199,26 @@ def _mesh_dims(mesh: Mesh):
 #: jitted shard_map programs, keyed on (mesh, shapes, statics):
 #: sharded_wow builds a fresh shard_map closure per call, which would
 #: otherwise defeat jax.jit's cache and recompile every invocation —
-#: fatal for serving loops (a 4k stage-1 program compiles in ~12 s)
-_PROGRAM_CACHE = {}
+#: fatal for serving loops (a 4k stage-1 program compiles in ~12 s).
+#: LRU-bounded: a long-lived serving process cycling shapes/configs
+#: must not pin every compiled executable (each holds device buffers
+#: and host IR); 32 programs comfortably covers a serving fleet's
+#: active config set while letting stale entries (and their XLA
+#: executables) be collected.
+from collections import OrderedDict
+
+_PROGRAM_CACHE = OrderedDict()
+_PROGRAM_CACHE_MAX = 32
 
 
 def _cached_jit(key, build):
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
         fn = _PROGRAM_CACHE[key] = jax.jit(build())
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
     return fn
 
 
@@ -237,6 +249,72 @@ def sharded_decompose(
     return jax.jit(fn)(x)
 
 
+def _band_axes():
+    """Linearized (rows, cols) collective axes: band index
+    ``i_row·n_cols + j_col`` orders full-width row bands top-to-bottom."""
+    return (ROW_AXIS, COL_AXIS)
+
+
+def _band_index(n_cols: int):
+    return lax.axis_index(ROW_AXIS) * n_cols + lax.axis_index(COL_AXIS)
+
+
+def _band_halo_extend(x, h: int, nb: int, n_cols: int, axis: int):
+    """Extend a full-width row band by ``h`` rows per side: interior
+    halos from ring neighbors over the linearized (rows, cols) axes;
+    the first/last band substitutes the reference symmetric reflection.
+    Requires ``h <= band extent`` (single-neighbor reach)."""
+    n = x.shape[axis]
+    names = _band_axes()
+    my_top = lax.slice_in_dim(x, 0, h, axis=axis)
+    my_bot = lax.slice_in_dim(x, n - h, n, axis=axis)
+    from_above = lax.ppermute(
+        my_bot, names, [(b, b + 1) for b in range(nb - 1)])
+    from_below = lax.ppermute(
+        my_top, names, [(b + 1, b) for b in range(nb - 1)])
+    refl_top = jnp.flip(lax.slice_in_dim(x, 0, h, axis=axis), axis=axis)
+    refl_bot = jnp.flip(lax.slice_in_dim(x, n - h, n, axis=axis),
+                        axis=axis)
+    b = _band_index(n_cols)
+    top = jnp.where(b == 0, refl_top, from_above)
+    bot = jnp.where(b == nb - 1, refl_bot, from_below)
+    return jnp.concatenate([top, x, bot], axis=axis)
+
+
+def _band_gather_extend(x, h: int, nb: int, n_cols: int, axis: int):
+    """Deep-reach extension (``h`` > band extent): all_gather the full
+    plane over the linearized axes, symmetric-pad by ``h``, and slice
+    this band's window back.  The carry at such scales is heavily
+    smoothed but full-resolution — the gather is the unavoidable
+    Ω(image) communication of an undecimated deep scale (see
+    DESIGN.md scaling model)."""
+    n = x.shape[axis]
+    full = lax.all_gather(x, _band_axes(), axis=axis, tiled=True)
+    pad = [(0, 0)] * full.ndim
+    pad[axis] = (h, h)
+    padded = jnp.pad(full, pad, mode="symmetric")
+    b = _band_index(n_cols)
+    return lax.dynamic_slice_in_dim(padded, b * n, n + 2 * h, axis=axis)
+
+
+def _deep_tail_band_plan(Hl: int, Wl: int, n_cols: int, dtype, sf,
+                         covered: int, n_scales: int):
+    """Static feasibility of the band-resharded sharded deep tail: every
+    scale past ``covered`` must admit the halo-mode stream kernel on
+    (Hb = Hl/n_cols, W = Wl·n_cols) bands.  Returns Hb or 0."""
+    from ..ops import pallas_deep
+
+    if covered >= n_scales:
+        return 0
+    if Hl % n_cols:
+        return 0
+    Hb, W = Hl // n_cols, Wl * n_cols
+    for s in range(covered, n_scales):
+        if not pallas_deep.can_deep_halo(Hb, W, dtype, sf, s):
+            return 0
+    return Hb
+
+
 def _tiled_wow_plan(Hl: int, Wl: int, n_scales: int,
                     sf: ScalingFunction):
     """Whiten-group plan for a spatially tiled mesh: the longest prefix
@@ -262,7 +340,7 @@ def _tiled_wow_plan(Hl: int, Wl: int, n_scales: int,
 def _tiled_wow_local(
     x, noise_v, *, groups, covered, sf, n_scales, weights, dcs,
     soft_threshold, has_noise, n_rows, n_cols, rops, with_coefficients,
-    interpret,
+    interpret, band_rows=0,
 ):
     """Stage-2 sharded WOW body: per whiten group, halo-extend the
     local block by the group reach (overlap-save — the same bitwise
@@ -312,20 +390,70 @@ def _tiled_wow_local(
         acc = crop(acc)
         recon = acc if recon is None else recon + acc
 
-    for s in range(covered, n_scales):
-        c_next = _smooth_local(cur, sf, s, n_rows, n_cols)
-        c = cur - c_next
-        lp = _smooth_local(c * c, sf, s, n_rows, n_cols)
-        lp = jnp.sqrt(jnp.where(lp <= 0, jnp.asarray(1e-15, c.dtype),
-                                lp))
-        if dcs[s] != 0:
-            c = c * significance(c, dcs[s], noise_b, float(sigma_e[s]),
-                                 soft_threshold)
-        c = c * (weights[s] / lp)
-        if with_coefficients:
-            out_rows.append(c)
-        recon = c if recon is None else recon + c
-        cur = c_next
+    if band_rows and covered < n_scales:
+        # ---- sharded deep tail on the stream kernels (round 5) ------
+        # Reshard (rows, cols) tiles to full-width row bands (one
+        # all_to_all over the col ring — identity when n_cols == 1),
+        # run the halo-mode deep stream kernel per band with ppermute
+        # halos (all_gather-built windows where the reach exceeds the
+        # band), reshard back.  Replaces the per-scale XLA halo chain
+        # (~2.2 ms/scale at 4k on v5e) with the same kernels the
+        # single-chip fast path runs.
+        from ..ops import pallas_deep
+
+        nb = n_rows * n_cols
+        row_ax, col_ax = cur.ndim - 2, cur.ndim - 1
+
+        def to_band(a):
+            if n_cols == 1:
+                return a
+            return lax.all_to_all(a, COL_AXIS, split_axis=row_ax,
+                                  concat_axis=col_ax, tiled=True)
+
+        def from_band(a):
+            if n_cols == 1:
+                return a
+            return lax.all_to_all(a, COL_AXIS, split_axis=col_ax,
+                                  concat_axis=row_ax, tiled=True)
+
+        cur_b = to_band(cur)
+        recon_b = to_band(recon)
+        for s in range(covered, n_scales):
+            R = 2 * sf.half_width * (1 << s)
+            if R <= band_rows:
+                ext = _band_halo_extend(cur_b, R, nb, n_cols, row_ax)
+            else:
+                ext = _band_gather_extend(cur_b, R, nb, n_cols, row_ax)
+            thr = ((dcs[s] * float(sigma_e[s])) * noise32
+                   if dcs[s] != 0 else jnp.zeros_like(noise32))
+            eb = ext if batched else ext[None]
+            white, _, cb = pallas_deep.deep_whiten_step(
+                eb, None, thr, sf=sf, scale=s,
+                weight=float(weights[s]), soft=soft_threshold,
+                masked=dcs[s] != 0, write_plane=True,
+                interpret=interpret, halo=R)
+            w = white if batched else white[0]
+            if with_coefficients:
+                out_rows.append(from_band(w))
+            recon_b = recon_b + w
+            cur_b = cb if batched else cb[0]
+        cur = from_band(cur_b)
+        recon = from_band(recon_b)
+    else:
+        for s in range(covered, n_scales):
+            c_next = _smooth_local(cur, sf, s, n_rows, n_cols)
+            c = cur - c_next
+            lp = _smooth_local(c * c, sf, s, n_rows, n_cols)
+            lp = jnp.sqrt(jnp.where(lp <= 0,
+                                    jnp.asarray(1e-15, c.dtype), lp))
+            if dcs[s] != 0:
+                c = c * significance(c, dcs[s], noise_b,
+                                     float(sigma_e[s]), soft_threshold)
+            c = c * (weights[s] / lp)
+            if with_coefficients:
+                out_rows.append(c)
+            recon = c if recon is None else recon + c
+            cur = c_next
 
     lp = rops.std(cur)
     lp = jnp.where(lp <= 0, jnp.asarray(1e-15, cur.dtype), lp)
@@ -459,18 +587,21 @@ def sharded_wow(
         Wl = spatial_shape[1] // n_cols
         groups, covered = _tiled_wow_plan(Hl, Wl, n_scales, sf)
         if covered >= 1:
+            band_rows = _deep_tail_band_plan(
+                Hl, Wl, n_cols, data.dtype, sf, covered, n_scales)
             local_tiled = partial(
                 _tiled_wow_local, groups=tuple(groups), covered=covered,
                 sf=sf, n_scales=n_scales, weights=rec_w, dcs=dcs,
                 soft_threshold=bool(soft_threshold), has_noise=has_noise,
                 n_rows=n_rows, n_cols=n_cols, rops=rops,
-                with_coefficients=with_coefficients, interpret=force)
+                with_coefficients=with_coefficients, interpret=force,
+                band_rows=band_rows)
             noise_spec = (P(DATA_AXIS)
                           if batched and noise_arr.ndim == 1 else P())
             key = ("tiled", mesh, data.shape, str(data.dtype),
                    with_coefficients, force, tuple(groups), n_scales,
                    rec_w, dcs, bool(soft_threshold), has_noise,
-                   noise_arr.ndim, sf)
+                   noise_arr.ndim, sf, band_rows)
             fn = _cached_jit(key, lambda: shard_map(
                 local_tiled, mesh=mesh,
                 in_specs=(data_spec, noise_spec),

@@ -186,3 +186,24 @@ def roofline(fn: Callable, args: tuple, cost: Cost, iters: int = 10,
         "achieved_gbps": cost.hbm_bytes / dt / 1e9,
         "achieved_gflops": cost.flops / dt / 1e9,
     }
+
+
+def count_collectives(fn: Callable, *args) -> Dict[str, int]:
+    """Count communication ops in the compiled (post-SPMD-partitioner)
+    HLO of ``jax.jit(fn)(*args)``.
+
+    Validates the scaling model's per-config collective counts
+    (DESIGN.md "Multi-chip scaling model") at trace level: the driver's
+    virtual-mesh dryrun asserts the compiled program contains exactly
+    the halos/reductions the model prices — no hidden resharding.
+    Counts ``-start`` forms once (async pairs are one collective)."""
+    import re
+
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    counts: Dict[str, int] = {}
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        n = len(re.findall(rf"\b{op}(?:-start)?\(", txt))
+        done = len(re.findall(rf"\b{op}-done\(", txt))
+        counts[op] = n - done if n > done else n
+    return counts
