@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from wavelets_tpu.ops import pallas_conv
 from wavelets_tpu.ops.filters import B3SPLINE
 
-_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=114 << 20)
 ssum = jax.jit(jnp.sum)
 rng = np.random.default_rng(0)
 x4k = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
@@ -53,17 +53,20 @@ NT = NI * NJ
 
 
 def timeit(fn, v, iters=20):
+    """Chained iterations + jitted scalar sync, RTT subtracted (the
+    proven tunnel methodology, cf. bench.py) — fn must map v's
+    shape/dtype to itself."""
     z = fn(v)
-    jax.tree.map(lambda a: float(jnp.asarray(a).ravel()[0].astype(jnp.float32)), z)
+    float(ssum(z))
     t0 = time.perf_counter()
     for _ in range(10):
-        float(x4k[0, 0])
+        float(ssum(v))
     rtt = (time.perf_counter() - t0) / 10
+    z = v
     t0 = time.perf_counter()
-    acc = None
     for _ in range(iters):
-        z = fn(v)
-    jax.tree.map(lambda a: float(jnp.asarray(a).ravel()[0].astype(jnp.float32)), z)
+        z = fn(z)
+    float(ssum(z))
     return (time.perf_counter() - t0 - rtt) / iters * 1e3
 
 
@@ -93,7 +96,7 @@ def pretile(v):
              for i in range(NI) for j in range(NJ)]
     return jnp.stack(tiles)
 
-print(f"pretile alone: {timeit(pretile, x4k):.3f} ms", flush=True)
+# (pretile alone is not chainable; see pretile_rt below)
 
 
 # ---- B: BlockSpec whiten kernel on pre-tiled input ------------------
@@ -154,6 +157,11 @@ def make_group_kernel(planes: bool, shrink: bool):
 
     n_out = (G + 1 if planes else 1) + 1
 
+    def untile(t):
+        # (NT, TH, TW) tile stack -> (4096, 4096) image
+        return t.reshape(NI, NJ, TH, TW).transpose(0, 2, 1, 3).reshape(
+            NI * TH, NJ * TW)
+
     def run(tiles):
         outs = pl.pallas_call(
             kernel,
@@ -167,22 +175,25 @@ def make_group_kernel(planes: bool, shrink: bool):
             scratch_shapes=[pltpu.VMEM((N, M), jnp.float32)] * 4,
             compiler_params=_PARAMS,
         )(tiles)
-        r = outs[0][0]
+        r = outs[0]
         for o in outs[1:]:
-            r = r + o[0]
-        return r
+            r = r + o
+        return untile(r)
     return run
 
+
+# chainable pretile roundtrip (pretile + tile-center reassembly): the
+# reassembly half costs about the same relayout as the pretile half
+pretile_rt = jax.jit(lambda v: pretile(v)[
+    :, Rr:Rr + TH, Rc:Rc + TW].reshape(
+    NI, NJ, TH, TW).transpose(0, 2, 1, 3).reshape(4096, 4096))
+print(f"pretile+reassemble roundtrip: {timeit(pretile_rt, x4k):.3f} ms",
+      flush=True)
 
 for planes in (True, False):
     krun = make_group_kernel(planes, shrink=False)
     full = jax.jit(lambda v: krun(pretile(v)))
-    tiles = pretile(x4k)
-    tiles.block_until_ready()
-    konly = jax.jit(krun)
-    print(f"B pretile+kernel planes={planes}: {timeit(full, x4k):.3f} ms",
-          flush=True)
-    print(f"B' kernel only planes={planes}: {timeit(konly, tiles):.3f} ms",
-          flush=True)
+    print(f"B pretile+kernel+untile planes={planes}: "
+          f"{timeit(full, x4k):.3f} ms", flush=True)
 
 print("DONE", flush=True)

@@ -32,7 +32,8 @@ from .api import (
 from .models.denoise import denoise
 from .models.enhance import enhance, prepare_params
 from .models.wow import wow, wow_stack
-from .models.richardson_lucy import richardson_lucy
+from .models.richardson_lucy import (richardson_lucy,
+                                     richardson_lucy_stack)
 
 __all__ = [
     # watroo-parity surface (watroo/wavelets.py:11 + watroo/utils.py:7)
@@ -46,6 +47,7 @@ __all__ = [
     "wow",
     "wow_stack",
     "richardson_lucy",
+    "richardson_lucy_stack",
     # documented-but-unexported reference helpers (watroo/utils.py:36, :10)
     "enhance",
     "prepare_params",

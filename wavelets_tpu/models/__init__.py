@@ -1,7 +1,7 @@
 from .denoise import denoise, denoise_core
 from .enhance import enhance, prepare_params
 from .wow import wow, wow_core
-from .richardson_lucy import richardson_lucy
+from .richardson_lucy import richardson_lucy, richardson_lucy_stack
 
 __all__ = [
     "denoise",
@@ -11,4 +11,5 @@ __all__ = [
     "wow",
     "wow_core",
     "richardson_lucy",
+    "richardson_lucy_stack",
 ]

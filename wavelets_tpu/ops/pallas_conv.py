@@ -153,7 +153,8 @@ def _aligned_halos(R: int) -> Tuple[int, int]:
 
 def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
                  R: int, offset: int = 0, whiten=None,
-                 reuse: bool = False, smooth_only: bool = False):
+                 reuse: bool = False, smooth_only: bool = False,
+                 bs_input: bool = False):
     """Decompose kernel, optionally with the WOW whitening stage fused
     per scale (``whiten = (soft, masked_tuple, planes)``): instead of
     the raw detail plane, each output row is the *whitened* detail
@@ -182,7 +183,14 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
         else:
             x_hbm, out_ref, bufs, tmp_ref, sm_ref = refs[:5]
             rest = refs[5:]
-        if reuse:
+        if bs_input:
+            # BlockSpec-input mode (round-5 serving groups): the input
+            # window arrives as a Mosaic-pipelined block (pre-tiled by
+            # the caller), so there is no in-kernel DMA to serialize
+            # against the output copies — measured ~0.6 ms better
+            # overlap at 4k than the manual-DMA scheme (PROBES_r05 #5).
+            sems = edge_ref = lsems = None
+        elif reuse:
             edge_ref, sems, lsems = rest
         else:
             (sems,) = rest
@@ -252,20 +260,26 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
             def _():
                 left_dma(st, which).wait()
 
-        # warm-up: first grid step issues its own DMA
-        @pl.when(step == 0)
-        def _():
-            start(slot, step)
+        if bs_input:
+            # the pre-tiled window block is read-only; copy it into the
+            # working buffer (VMEM→VMEM, ~µs) so the scale chain can
+            # ping-pong in place
+            bufs[...] = x_hbm[0]
+        else:
+            # warm-up: first grid step issues its own DMA
+            @pl.when(step == 0)
+            def _():
+                start(slot, step)
 
-        # depth-1 prefetch into the other slot; the current slot is a
-        # working buffer for this step, so only the inactive slot ever
-        # has a transfer in flight
-        @pl.when(step + 1 < nsteps)
-        def _():
-            start((step + 1) % N_SLOTS, step + 1)
+            # depth-1 prefetch into the other slot; the current slot is
+            # a working buffer for this step, so only the inactive slot
+            # ever has a transfer in flight
+            @pl.when(step + 1 < nsteps)
+            def _():
+                start((step + 1) % N_SLOTS, step + 1)
 
-        wait(slot, step)
-        if reuse:
+            wait(slot, step)
+        if reuse and not bs_input:
             buf = bufs.at[slot]
 
             # interior tiles: left halo from the previous tile's saved
@@ -289,7 +303,7 @@ def _make_kernel(level: int, taps: Tuple[float, ...], TH: int, TW: int,
         # ping-pong refs: cur holds smooth_s, tmp the row pass, sm the
         # scale result; cur and sm swap roles each scale.  The DMA slot
         # buffer doubles as the first cur.
-        refs = [bufs.at[slot], tmp_ref, sm_ref]
+        refs = [bufs if bs_input else bufs.at[slot], tmp_ref, sm_ref]
         cur = refs[0]
         for s in range(level):
             tmp = refs[1]
@@ -577,13 +591,14 @@ def _wow_group_halo(hw: int, offset: int, g: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("g", "sf", "offset", "soft", "masked",
-                              "need_cube", "interpret"))
+                              "need_cube", "interpret", "bs_input"))
 def _fused_wow_group(x: jax.Array, factors: jax.Array,
                      thresholds: jax.Array, g: int, sf: ScalingFunction,
                      offset: int = 0, soft: bool = True,
                      masked: Tuple[bool, ...] = (),
                      need_cube: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     bs_input: Optional[bool] = None):
     """Fused decompose+whiten of ``g`` scales at dilation base
     ``2^offset``: returns ``(rows, acc)`` where ``rows`` is a tuple of
     g+1 arrays (shape of ``x``) — whitened detail planes 0..g−1 plus
@@ -609,24 +624,57 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     Rr, Rc = _aligned_halos(R)
     xp = jnp.pad(xb, ((0, 0), (Rr + pt, Rr + (Hp - H - pt)),
                       (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
-    reuse = Wp // TW > 1
+    if bs_input is None:
+        # measured OFF (round-5 hardware A/B, PROBES_r05 #7): the
+        # standalone BlockSpec kernel pipelines ~0.6 ms better than the
+        # manual-DMA scheme, but in the production dispatch the XLA
+        # pretile copy (~0.45 ms at 4k) plus the full-window reads
+        # (no column-halo reuse) give it all back — serving group
+        # 2.47 ms (bs) vs 2.41 ms (manual).  Kept as an option for
+        # platforms where the copy is cheaper relative to VMEM DMA.
+        bs_input = False
+    ni, nj = Hp // TH, Wp // TW
+    reuse = (not bs_input) and nj > 1
     kernel = _make_kernel(g, sf.taps, TH, TW, R, offset,
                           whiten=(soft, tuple(masked), need_cube),
-                          reuse=reuse)
+                          reuse=reuse, bs_input=bs_input)
     n_rows = g + 1 if need_cube else 1
-    grid = (B, Hp // TH, Wp // TW)
-    scratch = [
-        pltpu.VMEM((N_SLOTS, TH + 2 * Rr, TW + 2 * Rc), dt),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-        pltpu.VMEM((TH + 2 * Rr, TW + 2 * Rc), dt),
-    ]
-    if reuse:
-        scratch.append(
-            pltpu.VMEM((N_SLOTS, TH + 2 * Rr, 2 * Rc), dt))
-    scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
-    if reuse:
+    grid = (B, ni, nj)
+    N = TH + 2 * Rr
+    M = TW + 2 * Rc
+    if bs_input:
+        # materialize the overlapping windows (XLA slice-stack) so the
+        # kernel input is pure BlockSpec — Mosaic pipelines input
+        # prefetch, compute, and output copies with no in-kernel wait
+        tiles = jnp.stack(
+            [xp[b, i * TH:i * TH + N, j * TW:j * TW + M]
+             for b in range(B) for i in range(ni) for j in range(nj)])
+        scratch = [
+            pltpu.VMEM((N, M), dt),
+            pltpu.VMEM((N, M), dt),
+            pltpu.VMEM((N, M), dt),
+            pltpu.VMEM((N, M), dt),
+        ]
+        x_spec = pl.BlockSpec(
+            (1, N, M),
+            lambda b, i, j, _ni=ni, _nj=nj: ((b * _ni + i) * _nj + j,
+                                             0, 0),
+            memory_space=pltpu.VMEM)
+        x_operand = tiles
+    else:
+        scratch = [
+            pltpu.VMEM((N_SLOTS, N, M), dt),
+            pltpu.VMEM((N, M), dt),
+            pltpu.VMEM((N, M), dt),
+            pltpu.VMEM((N, M), dt),
+        ]
+        if reuse:
+            scratch.append(pltpu.VMEM((N_SLOTS, N, 2 * Rc), dt))
         scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
+        if reuse:
+            scratch.append(pltpu.SemaphoreType.DMA((N_SLOTS,)))
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        x_operand = xp
     plane_spec = pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -636,7 +684,7 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
                         * (n_rows + 1)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  x_spec],
         out_specs=(plane_spec,) * (n_rows + 1),
         scratch_shapes=scratch,
         compiler_params=_VMEM_PARAMS,
@@ -644,7 +692,7 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     )(factors.astype(jnp.float32),
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
                        (g, B)),
-      xp)
+      x_operand)
     if (Hp, Wp) != (H, W):
         outs = tuple(o[:, pt:pt + H, pj:pj + W] for o in outs)
     rows, acc = outs[:n_rows], outs[n_rows]
