@@ -293,39 +293,44 @@ def _deep_tail_scales(carry, recon, noise32, sf, tail_start, n_scales,
             s += 1
             continue
         if bilateral is None:
-            # pad-to-feasible route (odd shapes, round 4): the stream
-            # kernel needs W % 128 == 0 and H % 2^s == 0, which odd
-            # frames fail for every deep scale.  Symmetric-pad the
-            # carry by >= the scale's total reach (chain + power
-            # smooth, 2·hw·2^s), run the fused step, crop — bitwise
-            # by the _pad_split argument (reflection commutes with the
-            # folds; the reference pads the *current* smooth per scale,
-            # watroo/wavelets.py:77, which re-padding the cropped carry
-            # reproduces exactly).  Worth it while the padded area stays
-            # under ~1.8x (the XLA chain costs ~2.2 ms/scale at 4k vs
-            # ~0.7·area for the kernel + ~0.35·area for the pad copy).
-            plan = _padded_deep_plan(carry.shape, carry.dtype, sf, s)
+            # pad-to-feasible route (odd shapes; round 5: pad once for
+            # a RUN of consecutive feasible scales): the stream kernel
+            # needs W % 128 == 0 and H % 2^s == 0, which odd frames
+            # fail for every deep scale.  Symmetric-pad the carry by
+            # >= the run's cumulative reach (chain + power smooth,
+            # Σ 2·hw·2^k), chain the fused steps on the padded carry —
+            # the intermediate carries stay padded, saving a pad + crop
+            # round trip per extra scale — and crop the outputs.
+            # Bitwise by the _pad_split argument (reflection commutes
+            # with the folds; the reference pads the *current* smooth
+            # per scale, watroo/wavelets.py:77).  Worth it while the
+            # padded area stays under ~1.8x (the XLA chain costs
+            # ~2.2 ms/scale at 4k vs ~0.7·area for the kernel).
+            plan = _padded_deep_run_plan(carry.shape, carry.dtype, sf,
+                                         s, n_scales)
             if plan is not None:
-                Hp, Wp = plan
+                Hp, Wp, run = plan
                 H, Wd = carry.shape[-2:]
                 pt = (Hp - H) // 2
                 pj = (Wp - Wd) // 2
                 pad_w = [(0, 0)] * (carry.ndim - 2) + [
                     (pt, Hp - H - pt), (pj, Wp - Wd - pj)]
                 cp = jnp.pad(carry, pad_w, mode="symmetric")
-                cb = cp if batched else cp[None]
-                white, _, carry_b = pallas_deep.deep_whiten_step(
-                    cb, None, thr_of(s), sf=sf, scale=s,
-                    weight=float(weights[s]), soft=soft_threshold,
-                    masked=denoise_coefficients[s] != 0,
-                    write_plane=True, interpret=interp)
+                carry_b = cp if batched else cp[None]
                 crop = lambda a: a[..., pt:pt + H, pj:pj + Wd]
-                w = crop(white if batched else white[0])
-                if write_planes:
-                    rows.append(w)
-                recon = w if recon is None else recon + w
+                for k in range(run):
+                    white, _, carry_b = pallas_deep.deep_whiten_step(
+                        carry_b, None, thr_of(s + k), sf=sf,
+                        scale=s + k, weight=float(weights[s + k]),
+                        soft=soft_threshold,
+                        masked=denoise_coefficients[s + k] != 0,
+                        write_plane=True, interpret=interp)
+                    w = crop(white if batched else white[0])
+                    if write_planes:
+                        rows.append(w)
+                    recon = w if recon is None else recon + w
                 carry = crop(carry_b if batched else carry_b[0])
-                s += 1
+                s += run
                 continue
         c_next = _smooth_step(carry, s, sf, sp_axes, "symmetric",
                               bilateral, bilateral_scaling)
@@ -437,6 +442,38 @@ def _wow_body_merged(
         # assembles the cube lazily if the user ever indexes it
         return recon, tuple(out_rows)
     return recon, stack_planes(out_rows)
+
+
+def _padded_deep_run_plan(shape, dtype, sf, s, n_scales):
+    """Pad plan for a RUN of consecutive geometry-infeasible deep
+    scales ``s..s+run−1``: one symmetric pad whose per-side width
+    covers the run's cumulative reach
+    ``P(run) = hw·2^s·(3·2^(run−1) − 1)`` — per-scale carry creep
+    ``hw·2^k`` plus the last scale's white reach ``2·hw·2^k`` (the
+    same arithmetic as the whiten-group halo,
+    ops/pallas_conv._wow_group_halo).  The intermediate carries stay
+    padded between the chained stream steps, saving a pad + crop round
+    trip per extra scale.  Returns ``(Hp, Wp, run)`` with the longest
+    run whose padded area stays under 1.8×, or None."""
+    from ..ops import pallas_deep
+
+    H, W = shape[-2:]
+    hw = sf.half_width
+    B = shape[0] if len(shape) == 3 else 1
+    best = None
+    for run in range(1, n_scales - s + 1):
+        D_last = 1 << (s + run - 1)
+        P = hw * (1 << s) * (3 * (1 << (run - 1)) - 1)
+        Hp = -(-(H + 2 * P) // D_last) * D_last
+        Wp = -(-(W + 2 * P) // 128) * 128
+        if Hp * Wp > 1.8 * H * W:
+            break
+        probe = jax.ShapeDtypeStruct((B, Hp, Wp), dtype)
+        if not all(pallas_deep.can_deep(probe, sf, s + k, None)
+                   for k in range(run)):
+            break
+        best = (Hp, Wp, run)
+    return best
 
 
 def _padded_deep_plan(shape, dtype, sf, s):

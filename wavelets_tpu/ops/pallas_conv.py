@@ -447,21 +447,26 @@ def _group_cost(H, W, g, R, TH, TW, itemsize, whiten: bool = False):
 
 
 def _pad_split(n: int, R: int, T: int) -> Tuple[int, int, int]:
-    """Symmetric pad plan for a non-tile-divisible extent: the smallest
-    multiple ``np`` of ``T`` with ``np ≥ n + 2R``, split so each side
-    gets ≥ R.  Padding by ≥ the group's reach ``R`` and cropping after
-    is *bitwise* exact: symmetric extension commutes with the symmetric
-    tap folds (the extension of the smooth is the smooth of the
-    extension — addition order of the mirrored taps is commutative), so
-    every value an original-domain output reads from the padded array
-    equals the per-scale reflection the standard algorithm would have
-    produced (watroo/wavelets.py:408-444 pads per scale).  Returns
-    ``(pad_lo, pad_hi, np)``; ``(0, 0, n)`` when already divisible."""
+    """One-sided pad plan for a non-tile-divisible extent: the smallest
+    multiple ``np`` of ``T`` with ``np ≥ n + R``, all pad on the high
+    side.  Padding by ≥ the group's reach ``R`` is *bitwise* exact:
+    symmetric extension commutes with the symmetric tap folds (the
+    extension of the smooth is the smooth of the extension), so every
+    value an original-domain output reads from the padded region equals
+    the per-scale reflection the standard algorithm would have produced
+    (watroo/wavelets.py:408-444 pads per scale); the kernel's own
+    border mirror at the padded right edge only pollutes the pad
+    region, ≥ R away from any original-domain output (the overlap-save
+    creep budget).  The low side is NOT padded — tile 0 starts at the
+    true image border, so (round 5) outputs align to the tile grid and
+    leave the kernel as *ragged* unpadded arrays (Mosaic masks the
+    last block's out-of-range stores; verified bitwise on hardware,
+    PROBES_r05) with no crop copies.  Returns ``(pad_lo=0, pad_hi,
+    np)``; ``(0, 0, n)`` when already divisible."""
     if n % T == 0:
         return 0, 0, n
-    np_ = -(-(n + 2 * R) // T) * T
-    lo = (np_ - n) // 2
-    return lo, np_ - n - lo, np_
+    np_ = -(-(n + R) // T) * T
+    return 0, np_ - n, np_
 
 
 def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
@@ -469,11 +474,18 @@ def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                 whiten: bool = False) -> Optional[Tuple[int, int]]:
     """Cheapest feasible tile pair under the cost model.  Extents that
     are not tile-divisible are priced at their padded size (see
-    :func:`_pad_split`); the kernels pad-and-crop internally."""
+    :func:`_pad_split`) and capped at 1.15× the minimal achievable
+    padded area: the cost model's step-overhead vs padded-area
+    trade-off mispredicts on heavily padded plans (round-5 odd-shape
+    probe: the model picked a 1.40× plan measured 1.68× slower than
+    the 4096² baseline), so plans that mostly compute padding are
+    excluded outright.  Non-power-of-two tile extents (multiples of
+    128) are allowed — they fit odd shapes with far less padding."""
+    sizes = (1024, 768, 512, 384, 256, 128)
     cands = []
-    for TH in (1024, 512, 256, 128):
+    for TH in sizes:
         Hp = _pad_split(H, R, TH)[2]
-        for TW in (1024, 512, 256, 128):
+        for TW in sizes:
             Wp = _pad_split(W, R, TW)[2]
             if max(_aligned_halos(R)) > min(TH, TW):
                 continue
@@ -481,10 +493,12 @@ def _plan_tiles(H: int, W: int, level: int, R: int, itemsize: int = 4,
                            reuse=Wp // TW > 1) <= budget:
                 cands.append(
                     (_group_cost(Hp, Wp, level, R, TH, TW, itemsize,
-                                 whiten), TH, TW))
+                                 whiten), Hp * Wp, TH, TW))
     if not cands:
         return None
-    _, TH, TW = min(cands)
+    min_area = min(c[1] for c in cands)
+    cands = [c for c in cands if c[1] <= 1.15 * min_area]
+    _, _, TH, TW = min(cands)
     return TH, TW
 
 
@@ -541,13 +555,13 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     B, H, W = xb.shape
     R = _group_halo(sf.half_width, offset, level)
     TH, TW = _plan_tiles(H, W, level, R, x.dtype.itemsize)
-    # non-tile-divisible extents: pad by >= R each side (bitwise-exact,
-    # see _pad_split) and crop the outputs back below
-    pt, _, Hp = _pad_split(H, R, TH)
-    pj, _, Wp = _pad_split(W, R, TW)
+    # non-tile-divisible extents: one-sided pad by >= R (bitwise-exact,
+    # see _pad_split); outputs leave ragged (unpadded) — no crops
+    _, _, Hp = _pad_split(H, R, TH)
+    _, _, Wp = _pad_split(W, R, TW)
     Rr, Rc = _aligned_halos(R)
-    xp = jnp.pad(xb, ((0, 0), (Rr + pt, Rr + (Hp - H - pt)),
-                      (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
+    xp = jnp.pad(xb, ((0, 0), (Rr, Rr + (Hp - H)),
+                      (Rc, Rc + (Wp - W))), mode="symmetric")
     reuse = Wp // TW > 1
     kernel = _make_kernel(level, sf.taps, TH, TW, R, offset,
                           reuse=reuse, smooth_only=smooth_only)
@@ -567,7 +581,7 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((n_rows, B, Hp, Wp), dt),
+        out_shape=jax.ShapeDtypeStruct((n_rows, B, H, W), dt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (n_rows, 1, TH, TW),
@@ -577,8 +591,6 @@ def _fused_group(x: jax.Array, level: int, sf: ScalingFunction,
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(xp)
-    if (Hp, Wp) != (H, W):
-        out = out[:, :, pt:pt + H, pj:pj + W]
     return out if batched else out[:, 0]
 
 
@@ -619,11 +631,11 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     dt = x.dtype
     R = _wow_group_halo(sf.half_width, offset, g)
     TH, TW = _plan_tiles(H, W, g, R, dt.itemsize, whiten=True)
-    pt, _, Hp = _pad_split(H, R, TH)
-    pj, _, Wp = _pad_split(W, R, TW)
+    _, _, Hp = _pad_split(H, R, TH)
+    _, _, Wp = _pad_split(W, R, TW)
     Rr, Rc = _aligned_halos(R)
-    xp = jnp.pad(xb, ((0, 0), (Rr + pt, Rr + (Hp - H - pt)),
-                      (Rc + pj, Rc + (Wp - W - pj))), mode="symmetric")
+    xp = jnp.pad(xb, ((0, 0), (Rr, Rr + (Hp - H)),
+                      (Rc, Rc + (Wp - W))), mode="symmetric")
     if bs_input is None:
         # measured OFF (round-5 hardware A/B, PROBES_r05 #7): the
         # standalone BlockSpec kernel pipelines ~0.6 ms better than the
@@ -680,7 +692,7 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=tuple([jax.ShapeDtypeStruct((B, Hp, Wp), dt)]
+        out_shape=tuple([jax.ShapeDtypeStruct((B, H, W), dt)]
                         * (n_rows + 1)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -693,8 +705,6 @@ def _fused_wow_group(x: jax.Array, factors: jax.Array,
       jnp.broadcast_to(thresholds.astype(jnp.float32).reshape(g, -1),
                        (g, B)),
       x_operand)
-    if (Hp, Wp) != (H, W):
-        outs = tuple(o[:, pt:pt + H, pj:pj + W] for o in outs)
     rows, acc = outs[:n_rows], outs[n_rows]
     if batched:
         return tuple(rows), acc
