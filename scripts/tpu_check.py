@@ -22,6 +22,7 @@ W = importlib.import_module("wavelets_tpu.models.wow")
 from wavelets_tpu.core.transform import decompose, decompose_pieces
 from wavelets_tpu.ops.filters import B3SPLINE, TRIANGLE
 from wavelets_tpu.ops.stats import _median_nonneg_pallas
+from wavelets_tpu.ops import pallas_deep
 
 ssum = jax.jit(jnp.sum)
 failures = []
@@ -135,6 +136,65 @@ def main():
     m = float(_median_nonneg_pallas(a))
     check("pallas median exact",
           m == float(np.median(np.asarray(a))))
+
+    # ---- round 5 paths -------------------------------------------------
+    # 3-D volume fast path (axial XLA + in-plane fused kernels) bitwise
+    from wavelets_tpu.core.transform import decompose as _dec
+    from wavelets_tpu.ops.pallas_conv import fused_volume_decompose
+
+    vol = jnp.asarray(rng.normal(size=(16, 512, 512)).astype(np.float32))
+    got_v = fused_volume_decompose(vol, 3, B3SPLINE)
+    ref_v = _dec(vol, 3, B3SPLINE, use_pallas=False)
+    check("volume fast path bitwise",
+          np.array_equal(np.asarray(got_v), np.asarray(ref_v)))
+
+    # ragged (odd-shape) whiten group: recon vs XLA at f32 tolerance,
+    # ragged outputs land unpadded
+    xo = jnp.asarray(rng.normal(size=(600, 584)).astype(np.float32))
+    sto = dict(sf=B3SPLINE, n_scales=4, weights=(1.0,) * 5,
+               whitening=True, denoise_coefficients=(0.0,) * 5,
+               bilateral=None, bilateral_scaling=False,
+               soft_threshold=True, preserve_variance=False, gamma=3.2,
+               gamma_min=None, gamma_max=None, h=0.0, has_noise=True)
+    zo = jnp.zeros((), jnp.float32)
+    r_of, p_of = W.wow_core(xo, zo, planes_layout="rows", **sto)
+    r_ox, _ = W.wow_core(xo, zo, fuse=False, **sto)
+    err_o = float(jnp.abs(r_of - r_ox).max())
+    sc_o = float(jnp.abs(r_ox).max())
+    check(f"odd-shape ragged wow err={err_o:.2e}",
+          err_o < 5e-6 * max(sc_o, 1.0) and p_of[0].shape == xo.shape)
+
+    # bf16 deep stream step vs f32 oracle on the bf16 carry
+    from wavelets_tpu.ops.conv import smooth as _sm
+
+    xb16 = jnp.asarray(
+        rng.normal(size=(1, 2048, 2048)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    zero1 = jnp.zeros((1,), jnp.float32)
+    wb, _, cnb = pallas_deep.deep_whiten_step(
+        xb16, None, zero1, sf=B3SPLINE, scale=6, weight=1.0,
+        soft=True, masked=False, write_plane=True)
+    xf = xb16.astype(jnp.float32)
+    cn_o = _sm(xf, B3SPLINE, scale=6, axes=(1, 2))
+    c_o = xf - cn_o
+    lp_o = _sm(c_o * c_o, B3SPLINE, scale=6, axes=(1, 2))
+    w_o = c_o / jnp.sqrt(jnp.where(lp_o <= 0, 1e-15, lp_o))
+    err_b = float(jnp.abs(wb.astype(jnp.float32) - w_o).max())
+    check(f"bf16 deep stream err={err_b:.2e}", err_b < 5e-2)
+
+    # halo-mode deep step bitwise vs reflection mode
+    x1 = jnp.asarray(rng.normal(size=(1, 1024, 1024)).astype(np.float32))
+    halo = 2 * B3SPLINE.half_width * (1 << 5)
+    w_r, _, cn_r = pallas_deep.deep_whiten_step(
+        x1, None, zero1, sf=B3SPLINE, scale=5, weight=1.0, soft=True,
+        masked=False, write_plane=True)
+    ext = jnp.pad(x1, ((0, 0), (halo, halo), (0, 0)), mode="symmetric")
+    w_h, _, cn_h = pallas_deep.deep_whiten_step(
+        ext, None, zero1, sf=B3SPLINE, scale=5, weight=1.0, soft=True,
+        masked=False, write_plane=True, halo=halo)
+    check("halo-mode deep step bitwise",
+          np.array_equal(np.asarray(w_h), np.asarray(w_r))
+          and np.array_equal(np.asarray(cn_h), np.asarray(cn_r)))
 
     # headline timing (4k L10 wow).  Chained iterations with ONE final
     # sync whose round trip (~28 ms through the axon tunnel!) is

@@ -37,17 +37,22 @@ BASELINE_FPS = 0.037  # BASELINE.md row 4: 4k² standard WOW, 1× CPU
 WATCHDOG_S = 1200
 
 
-def _arm_watchdog(seconds=WATCHDOG_S):
+def _arm_watchdog(seconds=WATCHDOG_S, table=None):
+    """On expiry, emit whatever completed (the per-config ``table``
+    fills row by row) so a slow tunnel still yields a usable artifact
+    with the rows measured so far."""
     def fire():
+        head = (table or {}).get("wow_4k_L10_planes", {})
+        fps = head.get("fps", 0.0)
         print(json.dumps({
             "metric": "wow_4k_auto10scale_frames_per_s_per_chip",
-            "value": 0.0,
+            "value": fps,
             "unit": "frames/s",
-            "vs_baseline": 0.0,
-            "error": f"watchdog: no result within {seconds}s "
-                     "(TPU backend unreachable?)",
+            "vs_baseline": round(fps / BASELINE_FPS, 1),
+            "error": f"watchdog: table incomplete after {seconds}s",
+            "table": table or {},
         }), flush=True)
-        os._exit(2)
+        os._exit(2 if not table else 0)
 
     t = threading.Timer(seconds, fire)
     t.daemon = True
@@ -64,12 +69,12 @@ def main_table():
     import io
     from contextlib import redirect_stdout
 
-    # the full table is ~25 compiled programs; the headline watchdog
-    # budget (20 min) is too tight through a cold tunnel
-    watchdog = _arm_watchdog(2400)
+    # the full table is ~28 compiled programs (~30-45 min through a
+    # cold tunnel); the watchdog emits the partial table on expiry
     from wavelets_tpu.evidence import run_table
 
     table = {}
+    watchdog = _arm_watchdog(2700, table)
     progress = io.StringIO()
     try:
         with redirect_stdout(progress):
