@@ -70,7 +70,17 @@ def main_table():
     from contextlib import redirect_stdout
 
     # the full table is ~28 compiled programs (~30-45 min through a
-    # cold tunnel); the watchdog emits the partial table on expiry
+    # cold tunnel); the watchdog emits the partial table on expiry.
+    # The persistent compilation cache (best-effort: the axon backend
+    # compiles remotely, but client-side executable caching still
+    # applies where supported) makes repeat runs start fast.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+    except Exception:
+        pass
     from wavelets_tpu.evidence import run_table
 
     table = {}
